@@ -1,0 +1,96 @@
+"""SparkSession factory + testdata catalog.
+
+Scale notes (100 TB design): the session defaults below assume local[N]
+testing but every knob is chosen for cluster sanity — AQE on (runtime
+skew-join + partition coalescing), adaptive broadcast conversion, and
+UTC session time so timestamp semantics are storage-stable across
+engines and clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables the driver generates (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects. We read them as epoch-nanos longs (legacy conf) and
+# convert to micros with integer division (matches DuckDB's ns->us
+# truncation; values are post-1970 so floor == truncate).
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def get_spark(app_name: str = "makerdao-dw-spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session with scale-sane defaults.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is cluster-neutral.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable semantics knobs to an externally-owned session.
+
+    The driver harness owns its SparkSession; these confs are all
+    runtime-mutable and keep query semantics deterministic (UTC
+    timestamps match how the parquet testdata is interpreted by the
+    DuckDB oracle, which is timezone-naive).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views for spark.sql() queries."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
