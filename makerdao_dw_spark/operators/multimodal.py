@@ -1,0 +1,111 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (100 TB design): media lives as `binary` columns (or object-store
+URIs) beside typed metadata; decode / feature-extract / resize / frame-
+sample run as Arrow-batched pandas iterators (`mapInPandas`) so each
+executor processes whole record batches without per-row Python overhead.
+Partitioning: payloads are large, so repartition by size budget (rows per
+partition ~ executor-memory / max payload) before the decode stage.
+
+The actual image/audio codecs are NOT in this container, so `decode_*`
+below are deterministic STUBS behind the real Spark plumbing — schema,
+batch iteration, and UDF signatures are production-shaped; swap the stub
+body for PIL/torchaudio/ffmpeg in a real deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("content_digest", StringType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """Make documents multimodal-shaped: binary payload + metadata struct.
+
+    In production the payload is the raw media; here it is the UTF-8 text
+    (deterministic), which keeps every downstream shape honest.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("media_type"),
+            F.col("n_chars").alias("orig_size"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def _stub_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decode. REPLACE with real codecs in deployment.
+
+    Raises NotImplementedError for media types the stub doesn't model,
+    mirroring how a real decoder surfaces unsupported formats.
+    """
+    if media_type not in ("image/png", "audio/wav", "video/mp4"):
+        raise NotImplementedError(f"no codec for {media_type}")
+    n = len(payload)
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "payload_bytes": n,
+        "width": 64 + n % 576 if media_type == "image/png" else 0,
+        "height": 64 + (n * 7) % 576 if media_type == "image/png" else 0,
+        "n_frames": 1 if media_type == "image/png" else n % 300,
+        "content_digest": digest,
+        # "thumbnail": resized media; stub = first 16 payload bytes
+        "thumbnail": payload[:16],
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: (doc_id, payload, meta) -> DECODED_SCHEMA.
+
+    mapInPandas so one Python worker handles whole Arrow batches; the
+    surrounding plan (projection pushdown into the scan, partition sizing)
+    stays with Catalyst.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                media_type = meta["media_type"]
+                try:
+                    d = _stub_decode(bytes(payload), media_type)
+                except NotImplementedError:
+                    continue  # unsupported media: drop, never mis-decode
+                rows.append({"doc_id": doc_id, "media_type": media_type, **d})
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,191 @@
+"""Deduplication operators over `documents` (training-data-pipeline plane).
+
+Four families, all Catalyst-expression-only (no Python UDFs in the hot
+path), all with full DuckDB oracles except simhash (rows-only; pinned by
+a unit test against a pure-python reference instead):
+
+- exact dedup: md5(text) hash-groupBy, keep min(doc_id)  [100 TB: single
+  shuffle on a uniform 128-bit key; no skew]
+- MinHash + LSH: word-3-gram shingles -> 16 md5 minhashes -> 4 bands of 4
+  -> band-hash bucket self-join -> candidate pairs  [100 TB: the classic
+  near-dup pipeline; band join is the only shuffle, keys are uniform]
+- n-gram Jaccard verification on the LSH candidates (exact similarity on
+  the small candidate set, never all-pairs)
+- SimHash: 32-bit signature from per-token md5 bits, hamming-style
+  bucketing by 16-bit halves (Spark impl; rows-only check)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_features import (
+    band_hashes,
+    band_hashes_sql_duckdb,
+    minhash_signature,
+    minhash_signature_sql_duckdb,
+    shingles_expr,
+    shingles_sql_duckdb,
+)
+from ..session import configure, load_table
+from .registry import query
+
+NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
+
+_D_SHINGLES = shingles_sql_duckdb("text")
+_D_SIG = minhash_signature_sql_duckdb("shingles", NUM_HASHES)
+_D_BANDS = band_hashes_sql_duckdb("sig", BANDS, ROWS_PER_BAND)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash
+""",
+    tags=("dedup", "B7"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+_LSH_ORACLE = f"""
+WITH sigs AS (
+    SELECT doc_id, {_D_SIG} AS sig
+    FROM (SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents)
+), bands AS (
+    SELECT doc_id, UNNEST({_D_BANDS}, recursive := true)
+    FROM (SELECT doc_id, sig FROM sigs)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
+        "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_hashes("sig", BANDS, ROWS_PER_BAND)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, list_distinct({_D_SHINGLES}) AS sset FROM documents
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sset AS sa, b.sset AS sb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id % 50 = 0
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM pairs
+WHERE len(list_intersect(sa, sb)) > 0
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for a probe subset (doc_id % 50 = 0) vs all.
+
+    At scale this stage runs only on LSH candidates; the probe subset here
+    keeps the oracle O(N) while exercising the exact-verify operator.
+    """
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.array_distinct(shingles_expr("text")).alias("sset"))
+    a = sh.filter(F.col("doc_id") % 50 == 0).alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                inter.cast("double") / (F.size("a.sset") + F.size("b.sset") - inter),
+                6,
+            ).alias("jaccard"),
+            inter.alias("_inter"),
+        )
+        .filter(F.col("_inter") > 0)
+        .drop("_inter")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-twiddling not portably expressible; pinned by unit test
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + bucket keys (two 16-bit halves).
+
+    Signature: bit b is the sign of sum over tokens of (+1 if bit b of
+    md5-32(token) else -1). Near-dup candidates share a half (hamming<=k
+    search via bucketing). Rows-only check; semantics pinned in
+    tests/test_extensions.py against a pure-python reference.
+    """
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+    h32 = toks.select(
+        "doc_id",
+        F.expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))").alias("hs"),
+    )
+    bit_sums = ", ".join(
+        f"aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN shiftright(h, {b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        for b in range(32)
+    )
+    sim = h32.select(
+        "doc_id",
+        F.expr(
+            "aggregate(array({bits}), 0L, (acc, s) -> acc * 2 + CASE WHEN s > 0 THEN 1 ELSE 0 END)".format(
+                bits=bit_sums
+            )
+        ).alias("simhash"),
+    )
+    return sim.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 65536).alias("bucket_lo"),
+        F.expr("simhash div 65536").alias("bucket_hi"),
+    ).orderBy("doc_id")

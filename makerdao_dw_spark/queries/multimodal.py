@@ -1,0 +1,65 @@
+"""Multimodal-column queries: binary payload plumbing over `documents`.
+
+`multimodal_metadata` is fully oracle-checked (binary lengths + md5
+digests agree across engines). `multimodal_decode_stub` exercises the
+Arrow-batched mapInPandas decode stage (stubbed codecs — rows-only check;
+shape pinned by tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_fake_payload, decode_media
+from ..session import configure, load_table
+from .registry import query
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS content_digest,
+       substr(text, 1, 16) AS head
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    m = attach_fake_payload(d)
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("content_digest"),
+        F.decode(F.expr("substring(payload, 1, 16)"), "UTF-8").alias("head"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle=None,  # stubbed codecs; plumbing pinned by unit tests
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode pipeline: attach payload -> Arrow-batched stub decode ->
+    per-media-type rollup of decoded dimensions."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_fake_payload(d))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("n_frames").alias("max_frames"),
+        )
+        .orderBy("media_type")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Determinism across engines: products are computed as double(x)*double(y)
+(exact, since float32 mantissas fit doubles) and folded LEFT-TO-RIGHT in
+index order on both sides, so dot products are bit-identical; similarity
+is then rounded to 6 decimals and every ranking uses (rounded sim, id) —
+fully deterministic.
+
+Scale design:
+- brute-force top-k: queries broadcast against the corpus; O(Q*N) but
+  embarrassingly parallel and shuffle-free until the final per-query top-k
+  (a tiny aggregation). This is the exactness baseline.
+- IVF-style bucketed search: restrict candidate pairs to the same coarse
+  bucket (here: the `label` column standing in for a centroid assignment;
+  in production, assign via a broadcast centroid table). Turns O(N^2) into
+  O(N^2 / n_buckets) with a uniform-key shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+DIM = 64
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Left-fold sum of elementwise double products (Spark SQL)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql_duckdb(a: str, b: str) -> str:
+    """Same left-fold in DuckDB (list_reduce folds left)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _cos_spark(a: str, b: str) -> str:
+    return f"round({_dot_expr(a, b)} / (sqrt({_dot_expr(a, a)}) * sqrt({_dot_expr(b, b)})), 6)"
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return f"ROUND({_dot_sql_duckdb(a, b)} / (SQRT({_dot_sql_duckdb(a, a)}) * SQRT({_dot_sql_duckdb(b, b)})), 6)"
+
+
+_SIM_SPARK = _cos_spark("a.embedding", "b.embedding")
+_SIM_DUCK = _cos_duck("a.embedding", "b.embedding")
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+    FROM q q JOIN embeddings c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+    tags=("similarity", "ann", "topk"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for probe vectors (vec_id % 100 = 0)."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            f"round({_dot_expr('qv', 'cv')} / (sqrt({_dot_expr('qv', 'qv')}) * sqrt({_dot_expr('cv', 'cv')})), 6)"
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "ann_ivf_bucketed",
+    oracle=f"""
+SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SIM_DUCK} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id % 25 = 0
+  AND {_SIM_DUCK} >= 0.2
+ORDER BY bucket, vec_a, vec_b
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style search: candidates restricted to the same coarse bucket
+    (label = stand-in centroid assignment), probe subset vec_id % 25 = 0."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 25 == 0).alias("a")
+    b = e.alias("b")
+    sim = F.expr(_SIM_SPARK)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .orderBy("bucket", "vec_a", "vec_b")
+    )
+
+
+@query(
+    "embedding_norms_stats",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(SQRT({_dot_sql_duckdb('embedding', 'embedding').replace('a.embedding', 'embedding')}), 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity", "B7"),
+)
+def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket vector-norm stats (sanity/monitoring operator)."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(f"round(sqrt({_dot_expr('embedding', 'embedding')}), 6)")
+    return (
+        e.select("label", norm.cast("decimal(38,6)").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

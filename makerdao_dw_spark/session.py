@@ -63,6 +63,31 @@ def get_spark(app_name: str = "makerdao-dw-spark", cpus: int | None = None) -> S
     return builder.getOrCreate()
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Local workers don't inherit the driver's sys.path mutations, and on a
+    real cluster the code must travel anyway — this is the deployment-
+    correct path for any UDF/mapInPandas stage that references the package.
+    """
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stem = os.path.join(tempfile.gettempdir(), "makerdao_dw_spark_pyfiles")
+    zip_path = shutil.make_archive(
+        stem, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable semantics knobs to an externally-owned session.
 
@@ -73,6 +98,7 @@ def configure(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ship_package(spark)
     return spark
 
 
