@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.text_features import (
     band_hashes,
     band_hashes_sql_duckdb,
+    let_bound,
     minhash_signature,
     minhash_signature_sql_duckdb,
     shingles_expr,
@@ -51,7 +52,7 @@ ORDER BY content_hash
     tags=("dedup", "B7"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     return (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -81,7 +82,7 @@ ORDER BY doc_a, doc_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket."""
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
         "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
     )
@@ -130,7 +131,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this stage runs only on LSH candidates; the probe subset here
     keeps the oracle O(N) while exercising the exact-verify operator.
     """
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     sh = d.select("doc_id", F.array_distinct(shingles_expr("text")).alias("sset"))
     a = sh.filter(F.col("doc_id") % 50 == 0).alias("a")
     b = sh.alias("b")
@@ -165,24 +166,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     search via bucketing). Rows-only check; semantics pinned in
     tests/test_extensions.py against a pure-python reference.
     """
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
-    h32 = toks.select(
-        "doc_id",
-        F.expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))").alias("hs"),
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    hs_expr = "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    # let-bind hs: the token md5s are computed once, then folded over the 32
+    # bit positions (bit 0 = most significant, matching the python reference)
+    sim_expr = let_bound(
+        hs_expr,
+        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc * 2 + "
+        "CASE WHEN aggregate({x}, 0L, (a2, h) -> a2 + "
+        "CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)",
     )
-    bit_sums = ", ".join(
-        f"aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN shiftright(h, {b}) % 2 = 1 THEN 1 ELSE -1 END)"
-        for b in range(32)
-    )
-    sim = h32.select(
-        "doc_id",
-        F.expr(
-            "aggregate(array({bits}), 0L, (acc, s) -> acc * 2 + CASE WHEN s > 0 THEN 1 ELSE 0 END)".format(
-                bits=bit_sums
-            )
-        ).alias("simhash"),
-    )
+    sim = d.select("doc_id", F.expr(sim_expr).alias("simhash"))
     return sim.select(
         "doc_id",
         "simhash",

@@ -32,7 +32,7 @@ ORDER BY doc_id
     tags=("multimodal",),
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     m = attach_fake_payload(d)
     return m.select(
         "doc_id",
@@ -51,7 +51,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode pipeline: attach payload -> Arrow-batched stub decode ->
     per-media-type rollup of decoded dimensions."""
-    d = configure(spark) and load_table(spark, sf_dir, "documents")
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     decoded = decode_media(attach_fake_payload(d))
     return (
         decoded.groupBy("media_type")

@@ -75,7 +75,7 @@ ORDER BY query_id, rk
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for probe vectors (vec_id % 100 = 0)."""
-    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     q = F.broadcast(e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
@@ -109,7 +109,7 @@ ORDER BY bucket, vec_a, vec_b
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style search: candidates restricted to the same coarse bucket
     (label = stand-in centroid assignment), probe subset vec_id % 25 = 0."""
-    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     a = e.filter(F.col("vec_id") % 25 == 0).alias("a")
     b = e.alias("b")
     sim = F.expr(_SIM_SPARK)
@@ -140,7 +140,7 @@ ORDER BY label
 )
 def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket vector-norm stats (sanity/monitoring operator)."""
-    e = configure(spark) and load_table(spark, sf_dir, "embeddings")
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     norm = F.expr(f"round(sqrt({_dot_expr('embedding', 'embedding')}), 6)")
     return (
         e.select("label", norm.cast("decimal(38,6)").alias("nrm"))

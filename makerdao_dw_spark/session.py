@@ -102,12 +102,22 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Load a testdata table.
+
+    spread=True round-robins the rows across the session's parallelism —
+    use before CPU-heavy per-row stages: the testdata files are small
+    single-split parquet, so without this all compute lands on one core.
+    (On a real cluster with many-split tables this is a no-op decision:
+    scan parallelism comes from the splits themselves.)
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
