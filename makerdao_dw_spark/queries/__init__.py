@@ -5,7 +5,15 @@ from .registry import REGISTRY, oracles_dict, queries_dict, query  # noqa: F401
 # Each import registers its queries as a side effect.
 from . import flagship  # noqa: E402,F401
 
-_MODULES = ["relational", "dedup", "similarity", "text", "multimodal", "assets_per_type"]
+_MODULES = [
+    "relational",
+    "advanced",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "assets_per_type",
+]
 for _m in _MODULES:
     try:
         __import__(f"{__name__}.{_m}")
