@@ -2,20 +2,17 @@
 
 from .registry import REGISTRY, oracles_dict, queries_dict, query  # noqa: F401
 
-# Each import registers its queries as a side effect.
-from . import flagship  # noqa: E402,F401
-
-_MODULES = [
-    "relational",
-    "advanced",
-    "dedup",
-    "similarity",
-    "text",
-    "multimodal",
-    "assets_per_type",
-]
-for _m in _MODULES:
-    try:
-        __import__(f"{__name__}.{_m}")
-    except ImportError:
-        pass  # module not built yet (incremental rounds)
+# Each import registers its queries as a side effect. Imports are
+# deliberately NOT wrapped in try/except: a broken module must fail the
+# whole registry, not silently shrink the declared surface.
+from . import (  # noqa: E402,F401
+    advanced,
+    assets_per_type,
+    dedup,
+    flagship,
+    multimodal,
+    relational,
+    similarity,
+    streaming,
+    text,
+)

@@ -1,0 +1,90 @@
+"""Streaming-executed queries, oracle-checked against batch SQL.
+
+These run REAL Structured Streaming plans (file-stream source →
+watermark → windowed/sessionized/stateful aggregation → memory sink,
+drained with AvailableNow) and return the materialized result. The
+DuckDB oracles are the batch-equivalent answers — streaming and batch
+must agree on a bounded input, which is exactly what these check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.jobs import (
+    run_sessionized,
+    run_stateful_user_stats,
+    run_windowed_counts,
+)
+from .registry import query
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+    tags=("streaming", "watermark", "window"),
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 4 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "session-window"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ``session_window`` splits when the gap is >= the 4h
+    duration (windows are [start, last+gap) and merge only on overlap),
+    so the oracle's boundary condition is ``>=`` — unlike the strict
+    ``>`` of the batch `sessionize_events` query."""
+    return run_sessionized(spark, sf_dir)
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent running aggregates (count/max/min/latest) kept
+    in the state store across micro-batches — deterministic under any
+    batch split, hence exactly oracle-checkable."""
+    return run_stateful_user_stats(spark, sf_dir)

@@ -98,6 +98,13 @@ def configure(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Streaming plans can't use AQE partition coalescing, so the static
+    # shuffle-partition count must be sane: match the session's
+    # parallelism instead of the 200 default (which costs ~170 empty
+    # state-store tasks per micro-batch on a small cluster).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(spark.sparkContext.defaultParallelism, 8))
+    )
     ship_package(spark)
     return spark
 

@@ -1,0 +1,48 @@
+"""Streaming sources over the testdata layout.
+
+A file-stream source needs a directory; we scope it to one table with
+``pathGlobFilter``. Schema comes from a one-off batch read (a streaming
+reader cannot infer), and the driver testdata's TIMESTAMP(NANOS) columns
+get the same nanos->micros normalization as the batch path
+(session.load_table).
+
+At scale this is exactly the bronze-landing pattern: ingest jobs append
+parquet files to a watched directory; the stream picks up new files per
+micro-batch and the checkpoint (not a max-scan probe like the
+reference's classes.py:32-50) records what has been processed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import _NANO_TS_COLUMNS, configure
+
+
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Open a testdata table as a file-stream (micro-batch) DataFrame."""
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{name}.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def stream_dir(spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Watch a landing directory of parquet files (bronze ingest pattern)."""
+    configure(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
