@@ -154,6 +154,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y)
+           / (SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))
+              * SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y)))
+           AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+), nn AS (
+    SELECT va AS vec_id, vb AS nn_id, ROUND(cos, 6) AS nn_cosine,
+           ROW_NUMBER() OVER (PARTITION BY va ORDER BY ROUND(cos, 6) DESC, vb) AS rk
+    FROM pairs
+)
+SELECT vec_id, nn_id, nn_cosine,
+       CASE WHEN nn_cosine >= 0.3 THEN TRUE ELSE FALSE END AS is_near_dup,
+       CASE WHEN nn_cosine >= 0.3 AND nn_id < vec_id THEN nn_id ELSE vec_id END AS canonical_id
+FROM nn WHERE rk = 1
+ORDER BY vec_id
+""",
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked nearest neighbor + threshold.
+
+    Blocking by the coarse `label` bucket (stand-in centroid assignment)
+    turns all-pairs O(N^2) into O(N^2 / n_buckets) — at 100 TB the
+    blocking key comes from an LSH / k-means assignment and this is the
+    standard semantic-dedup shape: one uniform-key shuffle for the
+    bucket self-join, a per-vector top-1 window, then a threshold flag
+    with canonical-id election (keep the smaller id of a dup pair).
+    """
+    from .similarity import _dot_expr
+
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    a = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("av")).alias("a")
+    b = e.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("lb"), F.col("embedding").alias("bv")
+    ).alias("b")
+    cos = F.expr(
+        f"round({_dot_expr('av', 'bv')} / (sqrt({_dot_expr('av', 'av')}) * sqrt({_dot_expr('bv', 'bv')})), 6)"
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id"))).select(
+        "vec_id", "nn_id", cos.alias("nn_cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("nn_cosine").desc(), "nn_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "nn_cosine",
+            (F.col("nn_cosine") >= 0.3).alias("is_near_dup"),
+            F.when((F.col("nn_cosine") >= 0.3) & (F.col("nn_id") < F.col("vec_id")), F.col("nn_id"))
+            .otherwise(F.col("vec_id"))
+            .alias("canonical_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=None,  # bit-twiddling not portably expressible; pinned by unit test
     tags=("dedup", "simhash"),

@@ -1,0 +1,104 @@
+"""Physical-plan shape audits: the properties that make queries survive
+a 100x scale-up, asserted on the actual executed plans so a regression
+(lost pushdown, un-broadcast join, Python in a relational hot path)
+fails CI rather than shipping as a silent 10x.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from makerdao_dw_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def run(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """B4: the <> predicate must reach the parquet scan as PushedFilters."""
+    p = plan_str(run(spark, "filter_project"))
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p or "Not(EqualTo" in p or "GreaterThan" in p, p
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A projection of few columns must not scan all 16 lineitem columns."""
+    df = run(spark, "filter_project")
+    p = plan_str(df)
+    seg = p[p.index("ReadSchema") :].splitlines()[0]
+    # lineitem has 16 columns; the pruned scan reads only what's needed
+    assert seg.count(":") <= 8, seg
+
+
+def test_dim_joins_are_broadcast(spark):
+    """B22: dimension-sized sides must broadcast, never shuffle the fact."""
+    p = plan_str(run(spark, "multiway_join_revenue"))
+    assert "BroadcastHashJoin" in p
+    # the only sort-merge-worthy join is fact-to-fact (orders x lineitem)
+    assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_no_python_in_relational_plans(spark):
+    """The entire B-plane must stay JVM-side (whole-stage codegen): no
+    row-at-a-time or Arrow Python evals in any relational query plan."""
+    for name in [
+        "flagship_events_funnel",
+        "q1_pricing_summary",
+        "multiway_join_revenue",
+        "window_cumulative",
+        "gap_fill_sequence",
+        "asof_join_order_events",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_quality_stats",
+    ]:
+        p = plan_str(run(spark, name))
+        assert "BatchEvalPython" not in p, f"{name} has row-wise Python"
+        assert "ArrowEvalPython" not in p, f"{name} has a pandas UDF stage"
+
+
+def test_whole_stage_codegen_present(spark):
+    df = run(spark, "q1_pricing_summary")
+    df.collect()  # AQE finalizes the plan only on execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' node prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in p, p.splitlines()[:5]
+
+
+def test_partial_aggregation(spark):
+    """B7/B19: hash aggregates must be two-phase (map-side partial)."""
+    p = plan_str(run(spark, "q1_pricing_summary"))
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be ONE shuffle (union + window), not a range
+    explosion: exactly one Exchange below the window sort."""
+    p = plan_str(run(spark, "asof_join_order_events"), "simple")
+    body = p.split("AdaptiveSparkPlan")[-1]
+    # one hashpartitioning exchange for the window; the final orderBy adds
+    # a rangepartitioning exchange. Nothing else.
+    assert body.count("Exchange hashpartitioning") == 1, body
+
+
+def test_gap_fill_no_join(spark):
+    """B9: sequence+explode gap-fill must not plan a join at all."""
+    p = plan_str(run(spark, "gap_fill_sequence"), "simple")
+    assert "Join" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_bruteforce_topk", "dedup_embedding_cosine"]
+)
+def test_vector_ops_jvm_side(spark, name):
+    """Vector math runs as Catalyst higher-order functions, not UDFs."""
+    p = plan_str(run(spark, name), "simple")
+    assert "EvalPython" not in p, f"{name}: vector math fell back to Python"
