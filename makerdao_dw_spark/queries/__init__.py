@@ -11,6 +11,7 @@ from . import (  # noqa: E402,F401
     dedup,
     flagship,
     multimodal,
+    olap,
     relational,
     similarity,
     streaming,

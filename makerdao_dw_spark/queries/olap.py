@@ -1,0 +1,268 @@
+"""OLAP operator battery: multidimensional aggregation (cube / grouping
+sets), approximate aggregates, range (interval) joins, distribution
+window functions, and higher-order array functions. All oracle-checked
+except the approximate sketches (bounded-error asserted in unit tests
+instead — an approx answer has no exact oracle by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# CUBE: all 2^2 grouping combinations in one pass
+# --------------------------------------------------------------------------
+@query(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+    tags=("cube", "rollup-family"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping() disambiguation (a real NULL group key vs
+# a super-aggregate NULL are different things)
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_events",
+    oracle="""
+SELECT event_type, CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+       GROUPING(event_type) AS g_type, GROUPING(CAST(EXTRACT(year FROM ts) AS BIGINT)) AS g_year,
+       COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(EXTRACT(year FROM ts) AS BIGINT)), ())
+ORDER BY g_type, g_year, event_type NULLS FIRST, y NULLS FIRST
+""",
+    tags=("grouping-sets",),
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_gs_events")
+    return e.sparkSession.sql(
+        """
+        SELECT event_type, CAST(year(ts) AS BIGINT) AS y,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(CAST(year(ts) AS BIGINT)) AS BIGINT) AS g_year,
+               COUNT(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(year(ts) AS BIGINT)), ())
+        ORDER BY g_type, g_year, event_type NULLS FIRST, y NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join: events within 7 days after the customer's order
+# --------------------------------------------------------------------------
+@query(
+    "range_join_order_events",
+    oracle="""
+SELECT o.o_orderkey, COUNT(e.event_id) AS n_events_week_after
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderkey % 20 = 0
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+    tags=("range-join", "interval"),
+)
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + interval predicate: the equality on user_id makes this
+    a hash join with a residual range filter — the scalable shape (the
+    pure-range-condition variant degenerates to a broadcast-nested-loop;
+    always give the planner an equi-key when the domain has one)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    e = _t(spark, sf_dir, "events")
+    cond = (
+        (F.col("e.user_id") == F.col("o.o_custkey"))
+        & (F.col("e.ts") >= F.col("o.o_orderdate"))
+        & (F.col("e.ts") < F.col("o.o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        o.alias("o")
+        .join(e.alias("e"), cond, "left")
+        .groupBy("o.o_orderkey")
+        .agg(F.count("e.event_id").alias("n_events_week_after"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist
+# --------------------------------------------------------------------------
+@query(
+    "distribution_windows",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_custkey) AS cust_drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    tags=("window", "ntile", "percent_rank"),
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wd = Window.partitionBy("o_orderpriority").orderBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.dense_rank().over(wd).cast("long").alias("cust_drank"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# RANGE frame windows (value-range moving aggregate, not row-count)
+# --------------------------------------------------------------------------
+@query(
+    "range_frame_window",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events
+ORDER BY event_id
+""",
+    tags=("window", "range-frame"),
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count over an event-time range (true RANGE frame on a
+    timestamp ordering — rows at any density, frame bounded by value)."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_rf_events")
+    return e.sparkSession.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM _rf_events
+        ORDER BY event_id
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Lateral posexplode + higher-order array functions
+# --------------------------------------------------------------------------
+@query(
+    "posexplode_embeddings",
+    oracle="""
+SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS component
+FROM embeddings, LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) u
+WHERE vec_id % 100 = 0 AND u.i <= 8
+ORDER BY vec_id, pos
+""",
+    tags=("lateral", "posexplode"),
+)
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "c"))
+        .select("vec_id", "pos", F.round(F.col("c").cast("double"), 6).alias("component"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE))), (a, b) -> a + b), 6) AS l1_norm,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_c,
+       CASE WHEN len(list_filter(embedding, x -> ABS(x) > 2.5)) > 0 THEN TRUE ELSE FALSE END AS has_outlier
+FROM embeddings
+WHERE vec_id % 50 = 0
+ORDER BY vec_id
+""",
+    tags=("higher-order", "array"),
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter/transform/aggregate/exists over the embedding arrays —
+    all JVM-side lambda expressions, zero Python."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_c"),
+        F.exists("embedding", lambda x: F.abs(x) > 2.5).alias("has_outlier"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates: HLL distinct + quantile sketch.
+# No exact oracle possible; the EXACT companion columns let the unit test
+# (and any reader) bound the sketch error, and the driver rows-only check
+# still validates schema/row shape.
+# --------------------------------------------------------------------------
+@query(
+    "approx_aggregates",
+    oracle=None,
+    tags=("approx", "hll", "quantile-sketch"),
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) and approx_percentile
+    (quantile sketch) vs their exact values, per event_type. At 100 TB
+    these are THE mergeable one-pass answers; exact companions exist
+    here to bound error (asserted <5% rsd / exact-rank neighborhood in
+    tests/test_extensions.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        )
+        .orderBy("event_type")
+    )

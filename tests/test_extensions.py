@@ -68,3 +68,14 @@ def test_multimodal_decode_shapes(spark):
             assert 64 <= r["width"] < 640 and r["n_frames"] == 1
         else:
             assert r["width"] == 0
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """HLL++ rsd=0.02 and a 1000-bucket quantile sketch must land close
+    to the exact answers — the bound that makes them usable at 100 TB."""
+    from makerdao_dw_spark.queries.olap import approx_aggregates
+
+    for r in approx_aggregates(spark, SF_DIR).collect():
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"]), r
+        spread = abs(r["exact_p50"]) + 1.0
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * spread, r
