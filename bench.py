@@ -49,10 +49,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        # min of 2: the first run pays codegen/JIT; the min is the
+        # steady-state throughput number (what a cluster would see).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

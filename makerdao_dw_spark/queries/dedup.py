@@ -199,13 +199,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot_expr
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    a = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("av")).alias("a")
-    b = e.select(
-        F.col("vec_id").alias("nn_id"), F.col("label").alias("lb"), F.col("embedding").alias("bv")
+    en = e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+    a = en.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("av"), F.col("nrm").alias("an")).alias("a")
+    b = en.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bn"),
     ).alias("b")
-    cos = F.expr(
-        f"round({_dot_expr('av', 'bv')} / (sqrt({_dot_expr('av', 'av')}) * sqrt({_dot_expr('bv', 'bv')})), 6)"
-    )
+    cos = F.round(F.expr(_dot_expr("av", "bv")) / (F.col("an") * F.col("bn")), 6)
     pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id"))).select(
         "vec_id", "nn_id", cos.alias("nn_cosine")
     )

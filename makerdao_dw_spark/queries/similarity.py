@@ -74,16 +74,29 @@ ORDER BY query_id, rk
     tags=("similarity", "ann", "topk"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for probe vectors (vec_id % 100 = 0)."""
+    """Exact cosine top-5 neighbors for probe vectors (vec_id % 100 = 0).
+
+    Norms are computed ONCE per vector before the join (identical
+    doubles to a per-pair recompute — sqrt of the same left-fold — but
+    O(N) instead of O(Q*N) norm evaluations; only the dot product is
+    per-pair work)."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    q = F.broadcast(e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("qn"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("cn"),
+    )
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.expr(
-            f"round({_dot_expr('qv', 'cv')} / (sqrt({_dot_expr('qv', 'qv')}) * sqrt({_dot_expr('cv', 'cv')})), 6)"
-        ).alias("cosine"),
+        F.round(F.expr(_dot_expr("qv", "cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -110,9 +123,12 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style search: candidates restricted to the same coarse bucket
     (label = stand-in centroid assignment), probe subset vec_id % 25 = 0."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    a = e.filter(F.col("vec_id") % 25 == 0).alias("a")
-    b = e.alias("b")
-    sim = F.expr(_SIM_SPARK)
+    en = e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    b = en.alias("b")
+    sim = F.round(
+        F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

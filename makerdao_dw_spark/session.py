@@ -109,20 +109,35 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+# Files above this size get auto-spread: the driver testdata is written
+# as ONE parquet row group per file, so Spark can never split the scan —
+# without a repartition, every map-side stage (partial agg, projection,
+# hashing) runs on one core regardless of cluster size. Real tables have
+# many row groups/files and never hit this branch.
+_AUTO_SPREAD_BYTES = 1_500_000
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """Load a testdata table.
 
-    spread=True round-robins the rows across the session's parallelism —
-    use before CPU-heavy per-row stages: the testdata files are small
-    single-split parquet, so without this all compute lands on one core.
-    (On a real cluster with many-split tables this is a no-op decision:
-    scan parallelism comes from the splits themselves.)
+    spread round-robins the rows across the session's parallelism before
+    CPU-heavy stages. Default (None) = auto: spread only when the file
+    is big enough to matter but is a single unsplittable row group.
+    Tiny dimensions stay single-partition (they broadcast anyway).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if spread is None:
+        try:
+            spread = os.path.getsize(path) > _AUTO_SPREAD_BYTES
+        except OSError:
+            spread = False
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
