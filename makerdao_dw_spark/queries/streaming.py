@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.jobs import (
     run_sessionized,
     run_stateful_user_stats,
+    run_stream_dedup,
     run_windowed_counts,
 )
 from .registry import query
@@ -88,3 +89,19 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     in the state store across micro-batches — deterministic under any
     batch split, hence exactly oracle-checkable."""
     return run_stateful_user_stats(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+ORDER BY event_id
+""",
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream unioned with itself (every row twice) must come out
+    exactly once via stateful dropDuplicates on event_id. Deterministic
+    because every column is functionally determined by event_id."""
+    return run_stream_dedup(spark, sf_dir)

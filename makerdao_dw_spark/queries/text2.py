@@ -1,0 +1,107 @@
+"""Second text-analysis wave: TF-IDF term ranking and a salted skewed
+aggregation, both oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_agg
+from ..session import configure, load_table
+from .registry import query
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' ')) AS term
+    FROM documents
+), terms AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM toks WHERE len(term) >= 3
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS docfreq FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term,
+           ROUND(t.tf * LN((n.n_docs + 1.0) / (df.docfreq + 1.0)), 6) AS tfidf
+    FROM terms t JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+) WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Classic two-aggregation shape: term frequencies per doc (shuffle on
+    (doc, term)), document frequencies (shuffle on term, map-side
+    combined), broadcast the doc count, window top-k. The df table is
+    vocabulary-sized — at 100 TB it broadcasts; the big shuffles carry
+    only (doc_id, term, count) triples, never text.
+    """
+    configure(spark)
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " ")
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    terms = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("docfreq"))
+    n_docs = d.count()  # scalar; at scale: a 1-row broadcast instead of collect
+    scored = terms.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("docfreq") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query(
+    "salted_skew_aggregate",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(38,6))) AS total,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("skew", "salting", "B7"),
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed GROUP BY (5 event types over all rows) via explicit
+    two-phase salting — result identical to the direct aggregation
+    (decimal/long merges are associative), reduction work spread over
+    16 salted subkeys per hot key."""
+    configure(spark)
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "total": ("sum", F.col("value").cast("decimal(38,6)")),
+            "lo": ("min", F.col("value")),
+            "hi": ("max", F.col("value")),
+        },
+        salt=16,
+    ).orderBy("event_type")

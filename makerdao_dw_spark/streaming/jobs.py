@@ -162,6 +162,19 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream unioned with
+    itself (every row arrives twice) deduplicated on event_id by the
+    stateful dropDuplicates operator — the at-least-once -> exactly-once
+    repair stage of an ingestion DAG. State holds one key per event_id;
+    in production add a watermark so state expires
+    (dropDuplicatesWithinWatermark)."""
+    ev = stream_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(stream_table(spark, sf_dir, "events"))
+    out = _drain(doubled.dropDuplicates(["event_id"]), "append")
+    return out.orderBy("event_id")
+
+
 def stream_ingest_logs(
     spark: SparkSession,
     landing_dir: str,
