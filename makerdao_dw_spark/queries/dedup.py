@@ -260,3 +260,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("simhash") % 65536).alias("bucket_lo"),
         F.expr("simhash div 65536").alias("bucket_hi"),
     ).orderBy("doc_id")
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE bands AS (
+    SELECT doc_id, UNNEST({_D_BANDS}, recursive := true)
+    FROM (SELECT doc_id, {_D_SIG} AS sig
+          FROM (SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents))
+), edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+), sym AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION SELECT dst, src FROM edges
+), reach AS (
+    SELECT a AS node, a AS reached FROM sym
+    UNION
+    SELECT r.node, s.b FROM reach r JOIN sym s ON r.reached = s.a
+)
+SELECT node AS doc_id, MIN(reached) AS component
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidate pairs -> connected
+    components by iterative min-label propagation (operators/graph.py).
+    The canonical doc of a cluster = the component id (min doc_id
+    reachable). Oracle: DuckDB recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
