@@ -15,6 +15,7 @@ from ..streaming.jobs import (
     run_sessionized,
     run_stateful_user_stats,
     run_stream_dedup,
+    run_stream_static_join,
     run_windowed_counts,
 )
 from .registry import query
@@ -105,3 +106,22 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once via stateful dropDuplicates on event_id. Deterministic
     because every column is functionally determined by event_id."""
     return run_stream_dedup(spark, sf_dir)
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+SELECT c.c_nationkey,
+       COUNT(*) AS n_events,
+       SUM(CAST(e.value AS DECIMAL(38,6))) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    tags=("streaming", "stream-static-join"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream joined to the static customer dimension (broadcast
+    per micro-batch), aggregated per nation — the enrichment stage every
+    streaming ingest DAG needs."""
+    return run_stream_static_join(spark, sf_dir)

@@ -162,6 +162,26 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast per micro-batch — no state store, the
+    static side is re-planned each batch so slowly-changing dims pick up
+    updates), then aggregated per nation."""
+    from ..session import load_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    joined = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+    )
+    out = _drain(agg, "complete")
+    return out.orderBy("c_nationkey")
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events stream unioned with
     itself (every row arrives twice) deduplicated on event_id by the
