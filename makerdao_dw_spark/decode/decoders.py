@@ -79,6 +79,55 @@ def extract_methodid(data_hex: str) -> str | None:
     return "0x" + h[:8] + "0" * 56
 
 
+def redispatch_proxy_calls(raw_logs: DataFrame, proxy_spec: TableSpec) -> DataFrame:
+    """Proxy re-dispatch stage (reference eth-contract.py:107-111): a
+    DSProxy-style `execute(address target, bytes data)` call carries the
+    REAL call inside its `bytes` arg. This stage decodes the wrapper and
+    re-emits rows in raw-log shape with the embedded calldata as `data`
+    and its padded selector as topics[0] — so the output feeds straight
+    back into `decode_logs_for_table(out, target_spec)` for every target
+    table, reusing the whole dispatch/decode machinery one level down.
+
+    Wrappers whose payload does not decode, or whose embedded data has no
+    selector, are dropped (not mis-filed — same policy as unknown topics).
+    """
+    matched = raw_logs.filter(F.element_at("topics", 1) == F.lit(proxy_spec.signature))
+    bytes_positions = [i for i, t in enumerate(proxy_spec.param_types) if t == "bytes"]
+    if not bytes_positions:
+        raise ValueError(f"{proxy_spec.table} has no bytes param to re-dispatch")
+    embed_at = bytes_positions[-1]
+    out_schema = raw_logs.schema
+    out_cols = list(out_schema.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = out_cols
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vals = decode_calldata(proxy_spec, r.data)
+                if vals is None or vals[embed_at] is None:
+                    continue
+                inner = bytes(vals[embed_at]).hex()
+                mid = extract_methodid("0x" + inner)
+                if mid is None:
+                    continue
+                rows.append(
+                    {
+                        "address": r.address,
+                        "topics": [mid],
+                        "data": "0x" + inner,
+                        "block_number": r.block_number,
+                        "block_hash": r.block_hash,
+                        "log_index": r.log_index,
+                        "transaction_index": r.transaction_index,
+                        "transaction_hash": r.transaction_hash,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return matched.mapInPandas(batches, out_schema)
+
+
 def _to_spark_value(typ: str, v):
     """Codec value -> Spark row value per SURVEY §1.3.
 

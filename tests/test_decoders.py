@@ -136,3 +136,55 @@ def test_spark_decode_within_decimal_range(spark):
     (r,) = decode_logs_for_table(_raw_log_df(spark, rows), transfer).collect()
     assert r["wad"] == Decimal(123 * 10**18)
     assert r["log_index"] == 3
+
+
+EXECUTE_ABI = {
+    "type": "function",
+    "stateMutability": "payable",
+    "name": "execute",
+    "inputs": [
+        {"name": "_target", "type": "address"},
+        {"name": "_data", "type": "bytes"},
+    ],
+}
+
+
+def test_proxy_redispatch_end_to_end(spark):
+    """execute(target, bytes) wrappers re-dispatch to the embedded
+    function's table (reference eth-contract.py:107-111); undecodable
+    wrappers are dropped, never mis-filed."""
+    from makerdao_dw_spark.decode.decoders import redispatch_proxy_calls
+    from makerdao_dw_spark.ingest.pipeline import RAW_LOG_SCHEMA
+
+    proxy_spec = compile_contract("proxy", [EXECUTE_ABI])[0]
+    frob_spec = compile_contract("vat", [FROB_ABI])[0]
+
+    ilk = b"ETH-A".ljust(32, b"\x00")
+    addr = "ab" * 20
+    inner = frob_spec.signature[2:10] + encode_abi(
+        frob_spec.param_types, [ilk, addr, addr, addr, 7, -5]
+    ).hex()
+    wrapper = proxy_spec.signature[2:10] + encode_abi(
+        proxy_spec.param_types, [addr, bytes.fromhex(inner)]
+    ).hex()
+
+    def log(i, data):
+        return {
+            "address": "0x" + addr, "topics": [proxy_spec.signature], "data": data,
+            "block_number": 100 + i, "block_hash": "b" * 64, "log_index": i,
+            "transaction_index": 0, "transaction_hash": f"{i:064x}",
+        }
+
+    rows = [
+        log(0, "0x" + wrapper),          # valid wrapper -> frob row
+        log(1, "0xdeadbeef"),            # undecodable wrapper -> dropped
+        log(2, "0x" + wrapper[:40]),     # truncated -> dropped
+    ]
+    raw = spark.createDataFrame(rows, RAW_LOG_SCHEMA)
+
+    redis = redispatch_proxy_calls(raw, proxy_spec)
+    out = decode_logs_for_table(redis, frob_spec).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["block_number"] == 100 and r["i"] == ilk
+    assert r["dink"] == Decimal(7) and r["dart"] == Decimal(-5)
