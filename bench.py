@@ -25,13 +25,18 @@ HEADLINE = [
     "flagship_events_funnel",   # the reference's analytics plan shape
     "q1_pricing_summary",       # scan + hash aggregate
     "multiway_join_revenue",    # 5-way join
+    "asof_join_order_events",   # as-of join (union + LOCF window)
     "window_cumulative",        # partitioned running window
     "window_rank_lag",          # rank/lag window family
     "gap_fill_sequence",        # sequence explode
     "dedup_exact",              # hash dedup
     "dedup_minhash_lsh",        # shingle->minhash->band join
+    "dedup_connected_components",  # iterative component clustering
     "ann_bruteforce_topk",      # vector similarity
     "text_quality_stats",       # text featurization
+    "text_tfidf_topterms",      # two-phase term statistics
+    "salted_skew_aggregate",    # skew-salted aggregation
+    "streaming_windowed_counts",  # structured-streaming windowed agg
 ]
 
 

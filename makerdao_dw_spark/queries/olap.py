@@ -266,3 +266,44 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram (width_bucket equi-width binning)
+# --------------------------------------------------------------------------
+@query(
+    "histogram_order_values",
+    oracle="""
+WITH bounds AS (SELECT MIN(o_totalprice) lo, MAX(o_totalprice) hi FROM orders)
+SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bucket_min,
+       ROUND(MAX(o_totalprice), 2) AS bucket_max
+FROM orders, bounds
+GROUP BY 1 ORDER BY bucket
+""",
+    tags=("histogram", "binning"),
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram. The bounds are a 2-value broadcast
+    (crossJoin of a 1-row aggregate), the binning a pure map expression:
+    one shuffle total at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+                F.lit(19),
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -105,3 +105,50 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=16,
     ).orderBy("event_type")
+
+
+@query(
+    "ngram_bigram_topk",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
+                       t -> len(t) >= 2) AS ts
+    FROM documents
+), grams AS (
+    SELECT UNNEST(list_transform(generate_series(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+    FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM grams
+GROUP BY bigram
+HAVING COUNT(*) >= 5
+ORDER BY n DESC, bigram
+LIMIT 50
+""",
+    tags=("text", "ngram"),
+)
+def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (n >= 5). Bigrams are built with
+    a JVM-side transform over the token array (zip of the array with its
+    tail) — no Python, one shuffle on the bigram key."""
+    configure(spark)
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
+            lambda t: F.length(t) >= 2,
+        ).alias("ts")
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

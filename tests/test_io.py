@@ -89,3 +89,23 @@ def test_jdbc_write_reaches_driver_boundary(spark, sample):
     cfg = JdbcConfig(url="jdbc:postgresql://localhost:5/x", user="u", password="p")
     with pytest.raises(Py4JJavaError, match="(?i)driver|class"):
         write_jdbc(sample.limit(1), cfg, "t", num_partitions=2)
+
+
+def test_compaction_reduces_files(spark, sample, tmp_path):
+    from makerdao_dw_spark.io.maintenance import compact_table, table_layout_stats
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files across 2 partitions (micro-batch accretion)
+    frag = sample.withColumn("p", (F.col("event_id") % 2).cast("int")).repartition(20)
+    frag.write.partitionBy("p").mode("overwrite").parquet(path)
+    before = table_layout_stats(spark, path)
+    assert before["n_files"] >= 20
+
+    rows_before = spark.read.parquet(path).count()
+    stats = compact_table(spark, path, partition_col="p")
+    after = stats["after"]
+    assert after["n_files"] < before["n_files"]
+    assert after["total_bytes"] > 0
+    df = spark.read.parquet(path)
+    assert df.count() == rows_before
+    assert {r["p"] for r in df.select("p").distinct().collect()} == {0, 1}
