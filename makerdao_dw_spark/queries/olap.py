@@ -307,3 +307,123 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide -> long melt)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_lineitem_charges",
+    oracle="""
+SELECT l_orderkey, l_linenumber, component, ROUND(amount, 4) AS amount
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice AS base,
+           l_extendedprice * l_discount AS discount_amt,
+           l_extendedprice * (1 - l_discount) * l_tax AS tax_amt
+    FROM lineitem WHERE l_orderkey % 100 = 0
+) UNPIVOT (amount FOR component IN (base, discount_amt, tax_amt))
+ORDER BY l_orderkey, l_linenumber, component
+""",
+    tags=("unpivot", "melt"),
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via stack() — the inverse of pivot, pure map-side
+    (row explosion x3, no shuffle until the final sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("base"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")).alias("tax_amt"),
+    )
+    return (
+        wide.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'base', base, 'discount_amt', discount_amt, 'tax_amt', tax_amt)"
+            ).alias("component", "amount"),
+        )
+        .withColumn("amount", F.round("amount", 4))
+        .orderBy("l_orderkey", "l_linenumber", "component")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS
+# --------------------------------------------------------------------------
+@query(
+    "exists_correlated",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+ORDER BY c_custkey
+""",
+    tags=("exists", "subquery", "B23"),
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS/NOT EXISTS — decorrelated by Catalyst into a
+    semi join + anti join (the only scalable execution)."""
+    configure(spark)
+    for t in ("customer", "orders", "events"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_ex_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _ex_customer c
+        WHERE EXISTS (SELECT 1 FROM _ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM _ex_events e
+                          WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+        ORDER BY c_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# median / mode aggregates
+# --------------------------------------------------------------------------
+@query(
+    "median_mode_aggregates",
+    oracle="""
+WITH agg AS (
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 4) AS med_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+), pc AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+    FROM orders GROUP BY 1, 2
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY c DESC, o_orderpriority) AS rk
+    FROM pc
+)
+SELECT a.o_orderstatus, a.med_price, r.o_orderpriority AS common_priority, a.n_customers
+FROM agg a JOIN ranked r ON a.o_orderstatus = r.o_orderstatus AND r.rk = 1
+ORDER BY a.o_orderstatus
+""",
+    tags=("median", "mode", "distinct-agg"),
+)
+def median_mode_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median (exact interpolated) + deterministic mode (Spark 4's
+    mode(col, true) breaks frequency ties by lowest value; the oracle
+    spells the same tie-break as an explicit count+rank) + distinct
+    aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.expr("mode(o_orderpriority, true)").alias("common_priority"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select("o_orderstatus", "med_price", "common_priority", "n_customers")
+        .orderBy("o_orderstatus")
+    )

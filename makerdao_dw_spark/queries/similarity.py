@@ -167,3 +167,40 @@ def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+WITH scaled AS (
+    SELECT vec_id,
+           127.0 / list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale
+    FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(s.scale, 6) AS scale,
+       list_transform(e.embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * s.scale) AS INT)) AS q
+FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+WHERE e.vec_id % 10 = 0
+ORDER BY e.vec_id
+""",
+    tags=("quantization", "int8", "embedding"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale (127/max|x|) —
+    the storage-prep step for embedding corpora (4x smaller, ANN-ready).
+    Pure map-side array math, zero shuffle before the final sort."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    e = e.filter(F.col("vec_id") % 10 == 0)
+    scaled = e.withColumn(
+        "scale_raw",
+        F.lit(127.0)
+        / F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * F.col("scale_raw")).cast("int")
+        ).alias("q"),
+    ).orderBy("vec_id")
