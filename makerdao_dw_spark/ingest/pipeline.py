@@ -202,8 +202,17 @@ def demux_and_write(
                 "block_range", F.expr(f"block_number div {partition_blocks}")
             )
             path = os.path.join(out_dir, schema_name, spec.table)
-            decoded.write.mode("overwrite").partitionBy("block_range").parquet(path)
-            counts[spec.table] = spark.read.parquet(path).count()
+            decoded.persist()
+            try:
+                n = decoded.count()
+                # empty tables stay absent on disk (a parquet dir with no
+                # data files cannot be read back schemalessly); the
+                # reference instead pre-creates empty tables via DDL
+                if n > 0:
+                    decoded.write.mode("overwrite").partitionBy("block_range").parquet(path)
+                counts[spec.table] = n
+            finally:
+                decoded.unpersist()
         return counts
     finally:
         raw.unpersist()
