@@ -427,3 +427,90 @@ def median_mode_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "med_price", "common_priority", "n_customers")
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical moments from exact decimal power sums (mergeable, exact)
+# --------------------------------------------------------------------------
+@query(
+    "stats_moments",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS s1,
+           SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS variance,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 6) AS stddev
+FROM s ORDER BY event_type
+""",
+    tags=("statistics", "moments"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev derived from EXACT decimal power sums (n, Σx, Σx²)
+    instead of the built-in var_samp: power sums are the mergeable,
+    order-independent form (how any distributed/streaming engine should
+    compute moments), so the result is bit-deterministic under any
+    parallelism — the built-in double accumulation is not."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(38,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    s1d, s2d, nd = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("n")
+    var = (s2d - s1d * s1d / nd) / (nd - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(s1d / nd, 6).alias("mean"),
+        F.round(var, 4).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Map-typed column operations (map build -> lookup/merge), compared as
+# sorted entry arrays (maps have no canonical order to hash)
+# --------------------------------------------------------------------------
+@query(
+    "map_event_type_counts",
+    oracle="""
+WITH pc AS (
+    SELECT user_id, event_type, COUNT(*) AS c
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       list_sort(list(event_type || ':' || CAST(c AS VARCHAR))) AS type_counts,
+       len(list(event_type)) AS n_types
+FROM pc
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("map", "collect"),
+)
+def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user map of event_type -> count, built with map_from_entries
+    then exported as sorted 'k:v' entries (maps are unordered, so the
+    comparable form is the sorted entry list; the map itself is the
+    useful column downstream — O(1) lookups via map_get)."""
+    e = _t(spark, sf_dir, "events")
+    pc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m = pc.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "c"))).alias("tc")
+    )
+    return m.select(
+        "user_id",
+        F.array_sort(
+            F.transform(
+                F.map_entries("tc"),
+                lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
+            )
+        ).alias("type_counts"),
+        F.size(F.map_keys("tc")).cast("long").alias("n_types"),
+    ).orderBy("user_id")
