@@ -16,6 +16,7 @@ from ..streaming.jobs import (
     run_stateful_user_stats,
     run_stream_dedup,
     run_stream_static_join,
+    run_stream_stream_join,
     run_windowed_counts,
 )
 from .registry import query
@@ -125,3 +126,23 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch), aggregated per nation — the enrichment stage every
     streaming ingest DAG needs."""
     return run_stream_static_join(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS p_user
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+""",
+    tags=("streaming", "stream-stream-join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to the same user's clicks in the prior hour —
+    two watermarked streams with an event-time-bounded condition (the
+    requirement that lets join state expire), checked against the batch
+    join answer."""
+    return run_stream_stream_join(spark, sf_dir)

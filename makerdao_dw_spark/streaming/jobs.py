@@ -182,6 +182,42 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_nationkey")
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's
+    clicks from the preceding hour. Both sides carry watermarks and the
+    join condition bounds event time on both sides — that pair is what
+    lets the state store expire rows (without it, stream-stream join
+    state grows forever)."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    )
+    out = _drain(j.select("purchase_id", "click_id", "p_user"), "append")
+    return out.orderBy("purchase_id", "click_id")
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events stream unioned with
     itself (every row arrives twice) deduplicated on event_id by the
