@@ -101,13 +101,18 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("credit", F.lit(0).cast(DEC)) - F.coalesce("debit", F.lit(0).cast(DEC))).over(w_cum),
     )
 
+    # Last row per (user, day) WITHOUT a second window sort: in the same
+    # ascending (ts, event_id) order the cumulative window already
+    # established, a row is its day's last iff the next row belongs to a
+    # different day (ties impossible — event_id is unique). Equivalent to
+    # row_number() desc == 1 over (user_id, dt) but reuses the existing
+    # partitioning AND ordering: no extra exchange, no extra sort.
     bucketed = cum.withColumn("dt", F.col("ts").cast("date")).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("user_id", "dt").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        ),
+        "nxt_dt", F.lead(F.col("ts").cast("date")).over(w_cum)
     )
-    last_state = bucketed.filter((F.col("rk") == 1) & (F.col("balance") != 0))
+    last_state = bucketed.filter(
+        (F.col("nxt_dt").isNull() | (F.col("nxt_dt") != F.col("dt"))) & (F.col("balance") != 0)
+    )
 
     categorized = last_state.select(
         "dt",
