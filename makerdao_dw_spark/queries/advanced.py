@@ -52,7 +52,9 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts, orders are midnight-ish, so equal keys are the edge case, and
     `is_probe` ASC puts state first only when it is strictly earlier).
     """
-    e = _t(spark, sf_dir, "events").select(
+    # window-first plan: skip auto-spread (see window_rank_lag note)
+    e = configure(spark) and load_table(spark, sf_dir, "events", spread=False)
+    e = e.select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
         F.lit(0).alias("is_probe"),

@@ -324,7 +324,9 @@ SELECT * FROM (
     tags=("B17", "lag", "lead", "rank"),
 )
 def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # window-first plan: scan is cheap and the window hash-exchanges
+    # immediately; skip the auto-spread round-robin exchange
+    o = configure(spark) and load_table(spark, sf_dir, "orders", spread=False)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         o.select(
@@ -352,7 +354,7 @@ FROM events
     tags=("B11",),
 )
 def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = configure(spark) and load_table(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
