@@ -514,3 +514,63 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_counts"),
         F.size(F.map_keys("tc")).cast("long").alias("n_types"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Null semantics: null-safe equality, NULLIF/NVL, NaN handling
+# --------------------------------------------------------------------------
+@query(
+    "null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       (o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O')) AS ns_eq,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+       CASE WHEN isnan(CASE WHEN o_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                            ELSE o_totalprice END)
+            THEN 0.0
+            ELSE ROUND(CASE WHEN o_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                            ELSE o_totalprice END, 2) END AS price_nan_fixed
+FROM orders
+WHERE o_orderkey % 40 = 0
+ORDER BY o_orderkey
+""",
+    tags=("null-semantics", "nan"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / null-safe <=> / COALESCE / nanvl — the null-vs-NaN
+    semantics corner every SQL engine must pin down (Spark's <=> is
+    DuckDB's IS NOT DISTINCT FROM; nanvl exists only Spark-side, the
+    oracle spells it as an isnan CASE)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    maybe_nan = F.when(
+        F.col("o_orderkey") % 7 == 0, F.expr("cast('NaN' as double)")
+    ).otherwise(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.col("o_orderstatus").eqNullSafe(status_or_null).alias("ns_eq"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        F.round(F.nanvl(maybe_nan, F.lit(0.0)), 2).alias("price_nan_fixed"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "sample_stratified",
+    oracle=None,  # seeded sampling is engine-specific; bounds unit-tested
+    tags=("sampling", "stratified"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: 20% of clicks/views, 100% of purchases
+    (the usual class-rebalancing step for training data). Deterministic
+    for a fixed seed+partitioning, but engine-specific — rows-only check
+    here; per-stratum fraction bounds asserted in test_extensions."""
+    e = _t(spark, sf_dir, "events")
+    fr = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    return (
+        e.sampleBy("event_type", fractions=fr, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )

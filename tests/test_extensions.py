@@ -79,3 +79,22 @@ def test_approx_aggregates_error_bounds(spark):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"]), r
         spread = abs(r["exact_p50"]) + 1.0
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * spread, r
+
+
+def test_stratified_sample_fractions(spark):
+    from makerdao_dw_spark.queries.olap import sample_stratified
+    from makerdao_dw_spark.session import load_table
+
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sampled = {r["event_type"]: r["n_sampled"] for r in sample_stratified(spark, SF_DIR).collect()}
+    for et, frac in [("click", 0.2), ("view", 0.2), ("purchase", 1.0)]:
+        got = sampled.get(et, 0) / totals[et]
+        assert abs(got - frac) < 0.12, (et, got, frac)
