@@ -36,10 +36,13 @@ def connected_components(
     )
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # One-hop min initialization: label = min(self, neighbors). LSH dup
+    # clusters are near-cliques, so most components converge here and the
+    # loop's first iteration is just the convergence proof.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("mn"))
+        .select("node", F.least("node", "mn").alias("component"))
         .localCheckpoint(eager=True)
     )
 

@@ -62,7 +62,8 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.lit(None).cast("long").alias("o_orderkey"),
     )
-    o = _t(spark, sf_dir, "orders").select(
+    o = configure(spark) and load_table(spark, sf_dir, "orders", spread=False)
+    o = o.select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
         F.lit(1).alias("is_probe"),
