@@ -574,3 +574,39 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregates and scalar bit manipulation
+# --------------------------------------------------------------------------
+@query(
+    "bitwise_ops",
+    oracle="""
+SELECT user_id,
+       BIT_AND(CAST(event_id % 256 AS BIGINT)) AS band,
+       BIT_OR(CAST(event_id % 256 AS BIGINT)) AS bor,
+       BIT_XOR(CAST(event_id % 256 AS BIGINT)) AS bxor,
+       CAST(user_id AS BIGINT) << 3 AS shifted,
+       CAST(user_id AS BIGINT) & 255 AS low_byte
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("bitwise",),
+)
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates (flag-column compaction: fold
+    per-event feature bits into one word per user) + scalar shifts."""
+    e = _t(spark, sf_dir, "events")
+    bits = (F.col("event_id") % 256).cast("long")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.bit_and(bits).alias("band"),
+            F.bit_or(bits).alias("bor"),
+            F.bit_xor(bits).alias("bxor"),
+        )
+        .withColumn("shifted", F.expr("shiftleft(cast(user_id as bigint), 3)"))
+        .withColumn("low_byte", F.col("user_id").cast("long").bitwiseAND(F.lit(255)))
+        .orderBy("user_id")
+    )

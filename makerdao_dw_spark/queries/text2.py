@@ -152,3 +152,38 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_custkey % 25 = 0 AND b.c_custkey % 25 = 0
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY key_a, key_b
+""",
+    tags=("fuzzy", "levenshtein"),
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching on a blocked candidate set (probe subset
+    stands in for the blocking stage): edit distance <= 2 flags
+    near-identical names. At scale the blocking key (sorted-neighborhood
+    or phonetic bucket) bounds the pair count, exactly like the LSH
+    pattern for documents."""
+    configure(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("na"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("nb"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("na", "nb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )
