@@ -610,3 +610,45 @@ def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("low_byte", F.col("user_id").cast("long").bitwiseAND(F.lit(255)))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4): per-user date grid via monotone recursion
+# --------------------------------------------------------------------------
+@query(
+    "recursive_cte_date_grid",
+    oracle="""
+WITH RECURSIVE bounds AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS day, CAST(MAX(ts) AS DATE) AS max_day
+    FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+), grid(user_id, day, max_day) AS (
+    SELECT user_id, day, max_day FROM bounds
+    UNION ALL
+    SELECT user_id, day + INTERVAL 1 DAY, max_day FROM grid WHERE day < max_day
+)
+SELECT user_id, CAST(day AS DATE) AS day FROM grid
+ORDER BY user_id, day
+""",
+    tags=("recursive-cte", "B9"),
+)
+def recursive_cte_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's generate_series gap-fill (B9) via Spark 4's native
+    WITH RECURSIVE: the fixpoint runs inside the engine. Monotone
+    recursion (strictly advancing date, one parent per row) — the shape
+    recursive CTEs handle without needing the UNION-dedup Spark doesn't
+    support yet. sequence()+explode stays the preferred plan (one map
+    stage, no iteration); this pins the recursive operator itself."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    e.createOrReplaceTempView("_rc_events")
+    return e.sparkSession.sql(
+        """
+        WITH RECURSIVE grid(user_id, day, max_day) AS (
+            SELECT user_id, CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)
+            FROM _rc_events GROUP BY user_id
+            UNION ALL
+            SELECT user_id, date_add(day, 1), max_day FROM grid WHERE day < max_day
+        )
+        SELECT user_id, day FROM grid
+        ORDER BY user_id, day
+        """
+    )
