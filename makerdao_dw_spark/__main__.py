@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         to_block=args.to_block,
         step=cc.blocks_step,
         partition_blocks=args.partition_blocks,
+        proxy_filter_address=cc.receipt_search_address,
     )
     print(json.dumps({"schema": schema, "contract": contract, "rows_per_table": counts}))
     return 0

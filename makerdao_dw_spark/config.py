@@ -123,6 +123,11 @@ def _merge(dst: dict, src: dict) -> None:
             dst[k] = v
 
 
+# DSSProxyActions: the hard-coded receipt-search target of the reference's
+# proxy_actions path (eth-contract.py:48,55).
+DSS_PROXY_ACTIONS = "0x82ecd135dce65fbc6dbdd0e4237e0af93ffd5038"
+
+
 @dataclass(frozen=True)
 class ContractConf:
     schema: str
@@ -130,6 +135,12 @@ class ContractConf:
     addresses: list[str]
     creation_block: int
     blocks_step: int
+    # non-None => ingest via the receipt-search path (A3): dedup logs by tx,
+    # fetch each receipt, keep txs whose first receipt log mentions this
+    # address. proxy_actions uses DSSProxyActions (eth-contract.py:47-58);
+    # gov_actions searches for its own address (conf/makermcd.conf:57 marks
+    # it broken upstream with exactly that fix described).
+    receipt_search_address: str | None = None
 
 
 class Registry:
@@ -157,12 +168,22 @@ class Registry:
             c = self.contracts[schema][contract]
         except KeyError:
             raise KeyError(f"contract {schema}.{contract} not in registry") from None
+        addresses = [a.lower() for a in c["addresses"]]
+        if "receiptSearchAddress" in c:  # explicit override, ours
+            receipt = str(c["receiptSearchAddress"]).lower()
+        elif contract == "proxy_actions":
+            receipt = DSS_PROXY_ACTIONS
+        elif contract == "gov_actions":
+            receipt = addresses[0]
+        else:
+            receipt = None
         return ContractConf(
             schema=schema,
             contract=contract,
-            addresses=[a.lower() for a in c["addresses"]],
+            addresses=addresses,
             creation_block=int(c["creationBlock"]),
             blocks_step=int(c.get("blocksStep", self.default_blocks_step)),
+            receipt_search_address=receipt,
         )
 
     def db(self) -> dict:

@@ -44,6 +44,27 @@ def test_missing_contract_raises(reg):
         reg.get("makermcd", "nope")
 
 
+def test_receipt_search_resolution(reg, tmp_path):
+    """Receipt-search path wiring: proxy_actions targets DSSProxyActions
+    (eth-contract.py:48,55); gov_actions searches for its own address —
+    the fix conf/makermcd.conf:57 describes but the reference never
+    implemented; plain contracts read logs directly."""
+    from makerdao_dw_spark.config import DSS_PROXY_ACTIONS
+
+    assert reg.get("makermcd", "proxy_actions").receipt_search_address == DSS_PROXY_ACTIONS
+    gov = reg.get("makermcd", "gov_actions")
+    assert gov.receipt_search_address == gov.addresses[0]
+    assert gov.receipt_search_address == "0x1b93556ab8dccef01cd7823c617a6d340f53fb58"
+    assert reg.get("makermcd", "vat").receipt_search_address is None
+    # explicit config override wins
+    conf = tmp_path / "r.conf"
+    conf.write_text(
+        'contracts {\n s {\n c {\n addresses = ["0xAB"]\n creationBlock = 5\n'
+        ' receiptSearchAddress = "0xCD"\n }\n }\n}\n'
+    )
+    assert Registry.load(str(conf)).get("s", "c").receipt_search_address == "0xcd"
+
+
 def test_template_empty_values(tmp_path):
     conf = tmp_path / "t.conf"
     conf.write_text(
