@@ -22,6 +22,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from `sources` over a directed edge
+    list, bounded at `max_hops`. Returns (node, dist) with dist = the
+    MINIMUM number of hops (<= max_hops); unreachable nodes absent.
+
+    `sources` is a 1-column DataFrame of start nodes (column name free).
+    Frontier expansion is one join + one anti-join per level — each level
+    shuffles only the frontier (shrinking once the reachable set
+    saturates), never the full visited set, and the loop is driver-side
+    control flow over localCheckpointed frames (constant-size plans).
+    BFS level count is the bound, so at 100 TB cost is
+    O(max_hops x frontier-edge joins) — the same plan GraphFrames' BFS
+    lowers to.
+    """
+    edges = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(eager=True)
+    frontier = (
+        sources.toDF("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:

@@ -10,6 +10,8 @@ from . import (  # noqa: E402,F401
     assets_per_type,
     dedup,
     flagship,
+    graph,
+    modern,
     multimodal,
     olap,
     relational,
