@@ -1,0 +1,180 @@
+"""Modern Spark-4 API surface: Python UDTF, per-line CSV/XML parsing,
+VARIANT semi-structured access.
+
+The reference stores decoded payloads as plain relational columns and
+ships no semi-structured parsing at all (its one JSON-ish surface is the
+ABI file loader, functions.py:20-37). A warehouse replacing it ingests
+raw exports too — CSV/XML lines and JSON blobs — so the engine declares
+that surface as first-class, each with a DuckDB oracle:
+
+- ``udtf_split_words``  — a Python UDTF (arrow-optimized table function,
+  Spark 4 `@udtf`) lateral-joined per document; the UDTF family is the
+  engine's extension point for custom row-generating operators.
+- ``csv_line_parse``    — `from_csv` line → typed struct → aggregate.
+- ``xml_line_parse``    — `from_xml` line → typed struct → aggregate.
+- ``variant_json_extract`` — `parse_json` → VARIANT → `variant_get`
+  typed path access (the open-type column pattern for 100 TB ingest:
+  parse once, bind types at query time, no reprocessing on schema
+  drift).
+
+UDTFs are the deliberate slow path (row-Python) — used here on a bounded
+input; the CSV/XML/VARIANT parsers are JVM expressions and stay inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: split a document into (pos, word) rows, lateral-joined.
+# --------------------------------------------------------------------------
+@udtf(returnType="pos int, word string")
+class _SplitWords:
+    def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+        if text is None:
+            return
+        for i, w in enumerate(text.split(" ")):
+            yield i, w
+
+
+_UDTF_ORACLE = """
+SELECT t.doc_id, CAST(u.i - 1 AS INT) AS pos, t.parts[u.i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS parts
+      FROM documents WHERE doc_id % 10 = 0) t,
+     LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) u
+ORDER BY doc_id, pos
+"""
+
+
+@query("udtf_split_words", oracle=_UDTF_ORACLE, tags=("udtf", "lateral", "text"))
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generating Python table function via LATERAL correlated join
+    (every 10th document keeps the output bounded)."""
+    spark.udtf.register("split_words", _SplitWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM docs_udtf d, LATERAL split_words(d.text) s
+        WHERE d.doc_id % 10 = 0
+        ORDER BY d.doc_id, s.pos
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# from_csv: serialize -> parse back to typed struct -> aggregate.
+# --------------------------------------------------------------------------
+_CSV_ORACLE = """
+WITH lines AS (
+  SELECT concat(event_id, ',', event_type, ',', user_id) AS line FROM events
+), parsed AS (
+  SELECT CAST(split_part(line, ',', 1) AS BIGINT) AS event_id,
+         split_part(line, ',', 2) AS event_type,
+         CAST(split_part(line, ',', 3) AS BIGINT) AS user_id
+  FROM lines
+)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+FROM parsed WHERE user_id % 7 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("csv_line_parse", oracle=_CSV_ORACLE, tags=("csv", "parse"))
+def csv_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV text line -> `from_csv` typed struct -> filter + aggregate;
+    the parse is a JVM expression (codegen), not a Python UDF."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.concat_ws(",", "event_id", "event_type", "user_id").alias("line"))
+    parsed = lines.select(
+        F.from_csv("line", "event_id BIGINT, event_type STRING, user_id BIGINT").alias("c")
+    ).select("c.*")
+    return (
+        parsed.filter(F.col("user_id") % 7 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").cast("bigint").alias("sum_id"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# from_xml: one XML record per line -> typed struct -> aggregate.
+# --------------------------------------------------------------------------
+_XML_ORACLE = """
+WITH lines AS (
+  SELECT concat('<e><t>', event_type, '</t><u>', user_id, '</u></e>') AS line
+  FROM events
+), parsed AS (
+  SELECT regexp_extract(line, '<t>(.*)</t>', 1) AS t,
+         CAST(regexp_extract(line, '<u>(.*)</u>', 1) AS BIGINT) AS u
+  FROM lines
+)
+SELECT t AS event_type, COUNT(*) AS n, CAST(MAX(u) AS BIGINT) AS max_user
+FROM parsed GROUP BY t ORDER BY t
+"""
+
+
+@query("xml_line_parse", oracle=_XML_ORACLE, tags=("xml", "parse"))
+def xml_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML record line -> `from_xml` typed struct -> aggregate (oracle
+    parses the same lines with regexp — independent implementations)."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("<e><t>"),
+            "event_type",
+            F.lit("</t><u>"),
+            F.col("user_id").cast("string"),
+            F.lit("</u></e>"),
+        ).alias("line")
+    )
+    parsed = lines.select(F.from_xml("line", "t STRING, u BIGINT").alias("x")).select("x.*")
+    return (
+        parsed.groupBy(F.col("t").alias("event_type"))
+        .agg(F.count("*").alias("n"), F.max("u").alias("max_user"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT: parse_json once, typed path access at query time.
+# --------------------------------------------------------------------------
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("variant_json_extract", oracle=_VARIANT_ORACLE, tags=("variant", "json", "semi-structured"))
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-type column pattern: `parse_json` -> VARIANT -> `variant_get`
+    with a typed path ('$.k' as int) -> aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.select(
+        "event_type", F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
