@@ -110,3 +110,49 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
     }
     assert final[1]["n_events"] == 3 and final[1]["max_value"] == 9.0
     assert final[2]["n_events"] == 2 and final[2]["min_value"] == 0.5
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API): runs
+    for real where protobuf exists; in this container the gate must
+    refuse cleanly (the legacy-API twin above covers the semantics)."""
+    import pytest
+
+    from makerdao_dw_spark.streaming.transform_state import (
+        TypeStatsProcessor,
+        protobuf_available,
+        transform_with_state_type_stats,
+    )
+
+    # the processor itself is plain Python — state transition is testable
+    # without the streaming runtime
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    import pandas as pd
+
+    p = TypeStatsProcessor()
+    p.init(FakeHandle())
+    out1 = list(p.handleInputRows(("buy",), iter([pd.DataFrame({"value": [2.0, 5.0]})]), None))
+    out2 = list(p.handleInputRows(("buy",), iter([pd.DataFrame({"value": [1.0]})]), None))
+    assert out1[0].iloc[0]["n"] == 2 and out1[0].iloc[0]["max_value"] == 5.0
+    # state carried across calls: count accumulates, min tightens
+    assert out2[0].iloc[0]["n"] == 3 and out2[0].iloc[0]["min_value"] == 1.0
+
+    if not protobuf_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            transform_with_state_type_stats(spark, "/root/testdata/sf0.001")
+        pytest.skip("protobuf absent: TWS cannot execute in this container")
+    df = transform_with_state_type_stats(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
