@@ -178,3 +178,53 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# parse_url: structured access into URL-shaped strings.
+# --------------------------------------------------------------------------
+_URL_ORACLE = """
+WITH urls AS (
+  SELECT concat('https://', source, '.example.com/', lang, '/doc/', doc_id,
+                '?n=', n_chars) AS url
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+         CAST(regexp_extract(url, 'n=(\\d+)', 1) AS BIGINT) AS n_param
+  FROM urls
+)
+SELECT host, COUNT(*) AS n_docs,
+       CAST(SUM(n_param) AS BIGINT) AS total_chars,
+       MIN(path) AS first_path
+FROM parsed GROUP BY host ORDER BY host
+"""
+
+
+@query("url_parse_rollup", oracle=_URL_ORACLE, tags=("url", "parse"))
+def url_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL column -> `parse_url` HOST/PATH/QUERY-param extraction ->
+    per-host rollup (the crawl-inventory shape of a training-data
+    pipeline; oracle re-parses with regexp)."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"), "lang",
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+            F.lit("?n="), F.col("n_chars").cast("string"),
+        ).alias("url")
+    )
+    parsed = urls.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).cast("bigint").alias("n_param"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_param").cast("bigint").alias("total_chars"),
+            F.min("path").alias("first_path"),
+        )
+        .orderBy("host")
+    )

@@ -204,3 +204,44 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.round(x.cast("double") * F.col("scale_raw")).cast("int")
         ).alias("q"),
     ).orderBy("vec_id")
+
+
+@query(
+    "ann_ivf_kmeans",
+    oracle=None,  # k-means training is not ANSI-SQL-expressible; the
+    # algorithm is pinned against a NumPy reference in
+    # tests/test_extensions.py::test_kmeans_matches_numpy_reference
+    tags=("similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED coarse centroids (operators/kmeans.py): fit k=8
+    on the corpus, assign every vector map-side (broadcast-literal
+    centroids, no shuffle), then search same-list candidate pairs only —
+    the real inverted-file layout, vs ann_ivf_bucketed's label stand-in."""
+    from ..operators.kmeans import assign_clusters, kmeans_fit
+
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    e = e.select("vec_id", "embedding")
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=8, max_iter=2)
+    en = assign_clusters(e, "embedding", centroids).withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    )
+    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    b = en.alias("b")
+    sim = F.round(
+        F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("list_id"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .orderBy("list_id", "vec_a", "vec_b")
+    )

@@ -98,3 +98,45 @@ def test_stratified_sample_fractions(spark):
     for et, frac in [("click", 0.2), ("view", 0.2), ("purchase", 1.0)]:
         got = sampled.get(et, 0) / totals[et]
         assert abs(got - frac) < 0.12, (et, got, frac)
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """operators/kmeans.py pinned against a NumPy implementation of the
+    identical algorithm (lowest-id init, squared-L2, lowest-id
+    tie-break, mean update, fixed iterations)."""
+    import numpy as np
+
+    from makerdao_dw_spark.operators.kmeans import assign_clusters, kmeans_fit
+    from makerdao_dw_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    rows = sorted((r["vec_id"], list(map(float, r["embedding"]))) for r in e.collect())
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    ids = np.array([i for i, _ in rows])
+    k, iters = 4, 3
+
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes first index on ties
+        for j in range(k):
+            if (lab == j).any():
+                C[j] = X[lab == j].mean(axis=0)
+    # labels against the FINAL centroids (assign_clusters below does too)
+    lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=k, max_iter=iters)
+    S = np.array(centroids)
+    assert S.shape == C.shape
+    assert float(np.abs(S - C).max()) < 1e-6
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(e, "embedding", centroids).select("vec_id", "cluster").collect()
+    }
+    want = dict(zip(ids.tolist(), lab.tolist()))
+    agree = sum(got[i] == want[i] for i in ids.tolist()) / len(ids)
+    assert agree >= 0.99  # near-tie argmin flips only
+
+    # determinism: a second fit is bit-identical
+    assert kmeans_fit(e, "embedding", "vec_id", k=k, max_iter=iters) == centroids
