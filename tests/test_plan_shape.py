@@ -102,3 +102,13 @@ def test_vector_ops_jvm_side(spark, name):
     """Vector math runs as Catalyst higher-order functions, not UDFs."""
     p = plan_str(run(spark, name), "simple")
     assert "EvalPython" not in p, f"{name}: vector math fell back to Python"
+
+
+@pytest.mark.parametrize(
+    "name", ["csv_line_parse", "xml_line_parse", "variant_json_extract", "url_parse_rollup"]
+)
+def test_line_parsers_jvm_side(spark, name):
+    """from_csv/from_xml/parse_json+variant_get/parse_url are JVM
+    expressions — the parse must never fall back to a Python eval node."""
+    p = plan_str(run(spark, name), "simple")
+    assert "EvalPython" not in p, f"{name}: parser fell back to Python"
