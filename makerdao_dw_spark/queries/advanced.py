@@ -334,3 +334,59 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("h"),
         (F.col("ts").cast("date") + F.expr("INTERVAL 7 DAY")).cast("timestamp").alias("next_week"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Secondary sort + mapInPandas: per-key ordered imperative logic.
+# --------------------------------------------------------------------------
+_DELTA_ORACLE = """
+SELECT user_id, event_id,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query(
+    "secondary_sort_deltas",
+    oracle=_DELTA_ORACLE,
+    tags=("mapInPandas", "secondary-sort", "sessionless"),
+)
+def secondary_sort_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The secondary-sort pattern: hash-repartition by key, sort within
+    partitions by (key, time, id), then a single mapInPandas pass that
+    carries state ACROSS Arrow batches (a key's rows may straddle the
+    ~10k-row batch boundary — the carry is the part naive
+    implementations get wrong). Computes each event's value delta vs the
+    user's previous event; oracle = a LAG window, so the imperative and
+    declarative routes must agree bit-for-bit.
+
+    At scale this is the fallback shape for per-key ordered logic Spark
+    expressions can't state (custom decoders, run-length logic): ONE
+    shuffle, no driver involvement, Arrow-batched Python.
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    n = spark.sparkContext.defaultParallelism
+    part = ev.repartition(n, "user_id").sortWithinPartitions("user_id", "ts", "event_id")
+
+    def deltas(batches):
+        prev_user, prev_val = None, None
+        for pdf in batches:
+            vals = []
+            for u, v in zip(pdf["user_id"], pdf["value"]):
+                vals.append(v - prev_val if u == prev_user else None)
+                prev_user, prev_val = u, v
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    # nullable Float64 so None -> SQL NULL (plain float64
+                    # would smuggle NaN through instead)
+                    "delta": pd.array(vals, dtype="Float64"),
+                }
+            )
+
+    out = part.mapInPandas(deltas, "user_id BIGINT, event_id BIGINT, delta DOUBLE")
+    return out.orderBy("user_id", "event_id")
