@@ -652,3 +652,47 @@ def recursive_cte_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, day
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
+# --------------------------------------------------------------------------
+@query(
+    "weighted_sample_orders",
+    oracle="""
+WITH keyed AS (
+    SELECT o_orderkey, o_totalprice,
+           LN((((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967297.0)
+               / (o_totalprice / 1000.0) AS es_key
+    FROM orders
+)
+SELECT o_orderkey, o_totalprice, ROUND(es_key, 9) AS es_key
+FROM keyed
+ORDER BY es_key DESC, o_orderkey
+LIMIT 200
+""",
+    tags=("sampling", "weighted", "efraimidis-spirakis", "topk"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement via Efraimidis–Spirakis A-Res:
+    each row draws u ~ U(0,1) and the k rows with the largest u^(1/w)
+    (equivalently largest ln(u)/w) form an exact weighted sample. Here
+    u comes from a Knuth multiplicative hash of the key — integer
+    arithmetic, so Spark and DuckDB derive bit-identical uniforms and
+    the sample is reproducible across engines (the property seeded
+    engine RNGs can't give).
+
+    Scale notes: fully distributed — the per-row key is a scalar
+    expression and top-k by key is TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows, no global sort, no shuffle of the
+    full table). This is THE pattern for weighted corpus subsampling at
+    100 TB: one scan, k rows out.
+    """
+    o = _t(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(4294967297.0)
+    es_key = F.log(u) / (F.col("o_totalprice") / F.lit(1000.0))
+    return (
+        o.select("o_orderkey", "o_totalprice", F.round(es_key, 9).alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("o_orderkey"))
+        .limit(200)
+    )

@@ -643,3 +643,100 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: selective dimension filter -> 3-way join -> grouped
+# revenue -> top-k. The canonical "join order + broadcast" stress: the
+# filtered customer segment is dimension-sized (broadcast), lineitem is
+# the probe side, and the top-k is a TakeOrderedAndProject (no full sort).
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("B22", "tpch-q3", "broadcast", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the testdata schema.
+
+    Scale notes: customer-after-filter is ~1/5 of a dimension table ->
+    explicit broadcast keeps the orders scan shuffle-free; the only wide
+    exchange is the final group-by on l_orderkey, and LIMIT 10 over the
+    sorted aggregate runs as TakeOrderedAndProject (per-partition top-k,
+    no global sort materialization).
+    """
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — HAVING-filtered aggregate used as
+# a semi-join filter, then re-join to the fact for detail rows.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("B22", "tpch-q18", "having", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) adapted to the testdata schema.
+
+    The aggregate-then-HAVING result is the small side by construction
+    (high-volume orders are rare), so it drives the join back to orders;
+    customer joins broadcast. One shuffle for the lineitem group-by, and
+    AQE converts the big->orders join to broadcast at runtime once the
+    HAVING filter collapses the build side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

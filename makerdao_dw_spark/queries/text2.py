@@ -187,3 +187,42 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+# --------------------------------------------------------------------------
+# regexp_extract_all battery: multi-match extraction + array aggregation
+# --------------------------------------------------------------------------
+@query(
+    "regexp_extract_all_ops",
+    oracle="""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[a-z]*an[a-z]*', 0)) AS n_an_words,
+       LEN(regexp_extract_all(text, 'scan|sort|join|merge', 0)) AS n_op_words,
+       COALESCE(array_to_string(regexp_extract_all(text, 'scan|sort|join|merge', 0)[1:5], ','), '') AS first_ops,
+       LEN(regexp_extract_all(text, '\\b[a-z]{6,}\\b', 0)) AS n_long_words
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("regexp", "extract-all", "text"),
+)
+def regexp_extract_all_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction: count every match of several
+    patterns per document and carry the first few matches as a joined
+    string (regexp_extract_all -> slice -> array_join). Group index 0
+    is passed explicitly on both engines (Spark defaults to 1, DuckDB
+    to 0 — an easy cross-engine trap).
+
+    Scale notes: pure JVM-side string expressions inside whole-stage
+    codegen — one scan of documents, no shuffle except the final sort
+    for display determinism.
+    """
+    configure(spark)
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    ops = F.regexp_extract_all(F.col("text"), F.lit("scan|sort|join|merge"), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]*an[a-z]*"), 0)).alias("n_an_words"),
+        F.size(ops).alias("n_op_words"),
+        F.array_join(F.slice(ops, 1, 5), ",").alias("first_ops"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{6,}\b"), 0)).alias("n_long_words"),
+    ).orderBy("doc_id")

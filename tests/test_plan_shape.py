@@ -112,3 +112,32 @@ def test_line_parsers_jvm_side(spark, name):
     expressions — the parse must never fall back to a Python eval node."""
     p = plan_str(run(spark, name), "simple")
     assert "EvalPython" not in p, f"{name}: parser fell back to Python"
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q18_large_orders", "weighted_sample_orders"]
+)
+def test_topk_is_take_ordered(spark, name):
+    """LIMIT-over-ORDER BY must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows), never a global sort."""
+    p = plan_str(run(spark, name), "simple")
+    assert "TakeOrderedAndProject" in p, f"{name}: top-k materialized a full sort"
+
+
+def test_q3_join_strategy(spark):
+    """Q3: the filtered customer segment must broadcast, and all three
+    scan-level predicates (segment, order date, ship date) must push
+    down to their parquet scans."""
+    p = plan_str(run(spark, "q3_shipping_priority"))
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_weighted_sample_no_shuffle(spark):
+    """The Efraimidis-Spirakis sample is one scan + per-partition top-k:
+    any Exchange in the plan means the full table shuffled for a 200-row
+    answer."""
+    p = plan_str(run(spark, "weighted_sample_orders"), "simple")
+    assert "Exchange" not in p, p
