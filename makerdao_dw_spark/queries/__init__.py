@@ -19,4 +19,6 @@ from . import (  # noqa: E402,F401
     streaming,
     text,
     text2,
+    training,
+    warehouse,
 )

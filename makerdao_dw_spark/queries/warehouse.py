@@ -1,0 +1,396 @@
+"""Warehouse-maintenance / training-pipeline operator wave: declarative
+data-quality expectations, SCD2 interval construction, funnel conversion,
+and per-group winsorization. All fully oracle-checked.
+
+These generalize the reference's operational patterns: its guardrails
+are per-row try/except prints (reference `eth-contract.py:114-118`), its
+"dimension history" is implicit in block-ordered event tables, and its
+only funnel-ish analysis is the assets_per_type LOCF cascade. Here each
+becomes a first-class, scale-shaped operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    accepted_values,
+    foreign_key,
+    in_range,
+    matches,
+    not_null,
+    run_suite,
+    unique_key,
+)
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation suite: N constraints, ~1 scan
+# --------------------------------------------------------------------------
+@query(
+    "dq_orders_suite",
+    oracle="""
+WITH t AS (SELECT COUNT(*) AS n FROM orders)
+SELECT 'accepted_values(o_orderstatus)' AS "constraint", n AS n_checked,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('F','O','P')) AS n_violations FROM t
+UNION ALL
+SELECT 'foreign_key(o_custkey)', n,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) FROM t
+UNION ALL
+SELECT 'in_range(o_totalprice)', n,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 400000)) FROM t
+UNION ALL
+SELECT 'matches(o_orderpriority)', n,
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM t
+UNION ALL
+SELECT 'not_null(o_custkey)', n,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) FROM t
+UNION ALL
+SELECT 'unique_key(o_orderkey)', n,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) FROM t
+ORDER BY "constraint"
+""",
+    tags=("data-quality", "expectations", "conditional-agg"),
+)
+def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six table-level constraints on orders evaluated by
+    `operators.quality.run_suite`: the four scalar checks share ONE
+    conditional-aggregation scan; uniqueness is one key-only group-by;
+    referential integrity is one broadcast anti-join. The range check is
+    deliberately tight (p > 400k fails) so the suite demonstrably
+    catches violations rather than vacuously passing.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    scalar = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", lo=0, hi=400000),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+        matches("o_orderpriority", "^[1-5]-"),
+    ]
+    extra = [
+        unique_key(o, ["o_orderkey"]),
+        foreign_key(o, "o_custkey", c, "c_custkey"),
+    ]
+    return run_suite(o, scalar, extra)
+
+
+# --------------------------------------------------------------------------
+# SCD2: collapse an event stream into validity intervals (gaps & islands)
+# --------------------------------------------------------------------------
+@query(
+    "scd2_user_state",
+    oracle="""
+WITH runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+    FROM events
+), collapsed AS (
+    SELECT user_id, event_type,
+           MIN(ts) AS valid_from,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_events
+    FROM runs GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, first_event_id) AS valid_to,
+       n_events
+FROM collapsed
+ORDER BY user_id, valid_from, first_event_id
+""",
+    tags=("scd2", "gaps-islands", "window"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event log: collapse each
+    user's consecutive same-state events into one run (the gaps-and-
+    islands double-row_number trick), then stitch runs into
+    [valid_from, valid_to) intervals with LEAD — NULL valid_to = the
+    current state. This is the standard dimension-history build the
+    reference's block-ordered evt tables imply but never materialize.
+
+    Scale notes: both row_numbers and the LEAD share the user_id hash
+    partitioning, so the whole build is ONE shuffle of (user, type, ts,
+    id) — no payload columns — followed by map-side run aggregation.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = e.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_typ))
+    collapsed = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
+    return (
+        collapsed.withColumn("valid_to", F.lead("valid_from").over(w_lead))
+        .orderBy("user_id", "valid_from", "first_event_id")
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: ordered stage matching (view -> click -> purchase)
+# --------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT v.user_id, v.t_view, MIN(e.ts) AS t_click
+    FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY v.user_id, v.t_view
+), p AS (
+    SELECT c.user_id, c.t_view, MIN(e.ts) AS t_purchase
+    FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY c.user_id, c.t_view
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased,
+       (SELECT ROUND(CAST(SUM(DATEDIFF('microsecond', t_view, t_purchase)) AS DOUBLE)
+                     / COUNT(*) / 1000000.0, 6) FROM p) AS avg_secs_to_convert
+""",
+    tags=("funnel", "sequence-match", "conversion"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel: first view, first click strictly
+    after it, first purchase strictly after that click; stage
+    populations plus mean view->purchase latency. The per-stage
+    "earliest qualifying event" is a min-aggregate over a
+    time-conditioned join — the relational form of sequential pattern
+    matching (MATCH_RECOGNIZE without the state machine).
+
+    Scale notes: every join keys on user_id, so one hash partitioning
+    serves all three stages; stage tables shrink monotonically and the
+    time predicate prunes before aggregation. Latency sums are exact
+    integer microseconds (no double accumulation).
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))
+    stats = p.agg(
+        F.count(F.lit(1)).alias("n_purchased"),
+        F.round(F.sum(lat).cast("double") / F.count(F.lit(1)) / 1000000.0, 6).alias("avg_secs_to_convert"),
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(stats)
+        .select("n_viewed", "n_clicked", "n_purchased", "avg_secs_to_convert")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorization: per-group percentile clipping (outlier handling)
+# --------------------------------------------------------------------------
+@query(
+    "winsorize_values",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(q.p05, 6) AS p05,
+       ROUND(q.p95, 6) AS p95,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < q.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       SUM(CAST(LEAST(GREATEST(e.value, q.p05), q.p95) AS DECIMAL(38,6))) AS winsorized_sum
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.p05, q.p95
+ORDER BY e.event_type
+""",
+    tags=("winsorize", "percentile", "outliers"),
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each group's values into its own
+    [p05, p95] (exact linear-interpolated percentiles), report clip
+    counts and the exact decimal sum of the clipped column — the
+    standard outlier-taming step before normalizing a training feature.
+
+    Scale notes: two aggregations over the same event_type partitioning;
+    the percentile table is group-cardinality-sized, so it broadcasts
+    back onto the fact scan and the clip itself is a pure map. Exact
+    percentiles shuffle the value column once; at petabyte scale swap in
+    approx_percentile with the same downstream shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias("n_clipped_hi"),
+            F.sum(clipped.cast("decimal(38,6)")).alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "n",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "winsorized_sum",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: day-0 cohorts x day-offset activity matrix
+# --------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+WITH first AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+    SELECT DISTINCT f.user_id, f.cohort_day,
+           DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+), size_ AS (
+    SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.day_offset,
+       COUNT(*) AS n_active,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM act a JOIN size_ s ON a.cohort_day = s.cohort_day
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+ORDER BY a.cohort_day, a.day_offset
+""",
+    tags=("cohort", "retention", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-activity day,
+    tracked by whether they purchased k days later. The canonical
+    product-analytics rollup — two aggregations plus a dimension-sized
+    cohort-size join.
+
+    Scale notes: both the first-touch aggregate and the activity dedup
+    key on user_id (one partitioning reused); the cohort-size table is
+    date-cardinality-sized and broadcasts. Nothing wide carries payload
+    columns.
+    """
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    act = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    size = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(size), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line concurrency: peak overlapping activity windows per day
+# --------------------------------------------------------------------------
+@query(
+    "concurrency_sweepline",
+    oracle="""
+WITH deltas AS (
+    SELECT ts AS t, 1 AS delta, event_id FROM events
+    UNION ALL
+    SELECT ts + INTERVAL 10 MINUTE AS t, -1 AS delta, event_id FROM events
+), running AS (
+    SELECT t, delta, event_id,
+           SUM(delta) OVER (ORDER BY t, delta DESC, event_id ROWS UNBOUNDED PRECEDING) AS live
+    FROM deltas
+)
+SELECT CAST(t AS DATE) AS day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM running
+GROUP BY CAST(t AS DATE)
+ORDER BY day
+""",
+    tags=("sweepline", "interval", "concurrency"),
+)
+def concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day via the sweep-line trick: each
+    event opens a 10-minute activity window; +1/-1 boundary deltas,
+    one global running sum over (time, delta desc, id) — starts tie-
+    sorted before ends so a window closing exactly when another opens
+    counts as overlap — then a per-day max. This is how interval-
+    overlap questions (concurrent sessions, live connections, room
+    occupancy) stay relational instead of becoming per-row loops.
+
+    Scale notes: the global-order running sum is the one inherently
+    serial step; at 100 TB shard the sweep by a coarse time range
+    (day), carry per-shard opening offsets computed from shard
+    boundary sums — the pattern is documented in SCALE.md; at testdata
+    scale a single range partition suffices and Spark's window handles
+    it in one pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id")
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.withColumn("live", F.sum("delta").over(w))
+    return (
+        running.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("live").cast("long").alias("peak_concurrent"))
+        .orderBy("day")
+    )

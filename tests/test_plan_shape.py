@@ -141,3 +141,37 @@ def test_weighted_sample_no_shuffle(spark):
     answer."""
     p = plan_str(run(spark, "weighted_sample_orders"), "simple")
     assert "Exchange" not in p, p
+
+
+def test_winsorize_percentiles_broadcast_back(spark):
+    """The per-group percentile table is group-cardinality-sized and
+    must broadcast onto the fact scan, never shuffle it."""
+    p = plan_str(run(spark, "winsorize_values"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dq_foreign_key_is_broadcast_anti_join(spark):
+    """Referential integrity must run as a broadcast LEFT ANTI join —
+    only parent keys cross the wire."""
+    p = plan_str(run(spark, "dq_orders_suite"))
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p
+
+
+def test_chunking_is_narrow(spark):
+    """Sliding-window chunking must be a pure map: no hash exchange, no
+    Python — the only allowed exchanges are the loader's spread and the
+    final determinism sort."""
+    p = plan_str(run(spark, "chunk_documents"), "simple")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "EvalPython" not in p
+
+
+def test_packing_single_hash_exchange(spark):
+    """Sequence packing: the (source, bin) aggregation must reuse the
+    window's hashpartitioning(source) — exactly one hash exchange in
+    the whole plan."""
+    p = plan_str(run(spark, "pack_sequences"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "EvalPython" not in p

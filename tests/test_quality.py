@@ -1,0 +1,65 @@
+"""Unit tests for operators/quality.py on a constructed frame with known
+violations of every constraint kind."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from makerdao_dw_spark.operators.quality import (
+    accepted_values,
+    foreign_key,
+    in_range,
+    matches,
+    not_null,
+    run_suite,
+    unique_key,
+)
+
+
+def test_quality_suite_counts(spark):
+    rows = [
+        # (id, status, score, ref)
+        (1, "ok", 10.0, 100),
+        (2, "ok", -5.0, 100),      # range violation (lo=0)
+        (3, "bad!", 20.0, 999),    # accepted_values + matches + FK violation
+        (3, "ok", 30.0, 100),      # duplicate id (with row above: 2 rows in dup key)
+        (4, None, 200.0, None),    # null status; range violation (hi=100); null ref ok for FK
+    ]
+    df = spark.createDataFrame(rows, "id int, status string, score double, ref int")
+    parent = spark.createDataFrame([(100,), (200,)], "pk int")
+
+    out = run_suite(
+        df,
+        [
+            not_null("status"),
+            in_range("score", lo=0, hi=100),
+            accepted_values("status", ["ok", "warn"]),
+            matches("status", "^[a-z]+$"),
+        ],
+        [
+            unique_key(df, ["id"]),
+            foreign_key(df, "ref", parent, "pk"),
+        ],
+    )
+    got = {r["constraint"]: (r["n_checked"], r["n_violations"]) for r in out.collect()}
+    assert got == {
+        "not_null(status)": (5, 1),
+        "in_range(score)": (5, 2),
+        "accepted_values(status)": (5, 1),
+        "matches(status)": (5, 1),
+        "unique_key(id)": (5, 2),
+        "foreign_key(ref)": (5, 1),
+    }
+
+
+def test_quality_scalar_checks_share_one_scan(spark):
+    """All scalar constraints must fold into a single aggregation over a
+    single scan — adding a check must not add a pass."""
+    rows = [(1, "a", 1.0), (2, "b", 2.0)]
+    df = spark.createDataFrame(rows, "id int, s string, v double")
+    out = run_suite(
+        df,
+        [not_null("s"), in_range("v", lo=0), accepted_values("s", ["a", "b"])],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("localrelation") + plan.lower().count("logicalrdd") == 1, plan
