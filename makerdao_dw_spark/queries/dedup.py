@@ -1,8 +1,10 @@
 """Deduplication operators over `documents` (training-data-pipeline plane).
 
 Four families, all Catalyst-expression-only (no Python UDFs in the hot
-path), all with full DuckDB oracles except simhash (rows-only; pinned by
-a unit test against a pure-python reference instead):
+path), all with full DuckDB oracles (simhash's oracle rebuilds the same
+md5-based bit fold in DuckDB SQL — md5 is bit-identical across engines —
+and is additionally pinned by a unit test against a pure-python
+reference):
 
 - exact dedup: md5(text) hash-groupBy, keep min(doc_id)  [100 TB: single
   shuffle on a uniform 128-bit key; no skew]
@@ -232,7 +234,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-twiddling not portably expressible; pinned by unit test
+    oracle="""
+WITH hs AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), t ->
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, 8), i ->
+                           CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT))),
+                   (a, x) -> a * 16 + x)) AS hl
+    FROM documents
+), sim AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+               CASE WHEN list_sum(list_transform(hl, h ->
+                   CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM hs
+)
+SELECT doc_id, simhash,
+       CAST(simhash % 65536 AS BIGINT) AS bucket_lo,
+       CAST(simhash // 65536 AS BIGINT) AS bucket_hi
+FROM sim ORDER BY doc_id
+""",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +264,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature: bit b is the sign of sum over tokens of (+1 if bit b of
     md5-32(token) else -1). Near-dup candidates share a half (hamming<=k
-    search via bucketing). Rows-only check; semantics pinned in
+    search via bucketing). md5 is bit-identical across engines, so the
+    whole signature is exactly oracle-checked (the DuckDB twin rebuilds
+    the same fold from hex digits); semantics additionally pinned in
     tests/test_extensions.py against a pure-python reference.
     """
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
