@@ -1,0 +1,81 @@
+"""Sort-aware table layout for scan pruning (Z-order-lite).
+
+Parquet readers skip whole row groups whose column min/max statistics
+exclude a pushed-down predicate. That only pays off if the writer
+clusters values: a randomly-ordered table has every key range in every
+row group, so min/max prune nothing. `sorted_write` materializes a
+table range-partitioned AND sorted by the chosen clustering keys, so:
+
+- each output file covers a disjoint key range (file-level pruning via
+  footer stats),
+- each row group within a file covers a narrow sub-range (row-group
+  pruning),
+- a point/range predicate on the leading key touches O(selectivity)
+  of the bytes instead of all of them.
+
+This is the plain-parquet version of what Delta/Iceberg call clustering
+or Z-ordering (single-dimension case). The reference's analog is
+implicit: block-ordered inserts mean its warehouse tables are naturally
+clustered by block_number — `sorted_write` makes that property explicit
+and re-establishable after shuffles/compaction.
+
+At 100 TB: `repartitionByRange` samples the key distribution (range
+boundaries are equi-depth, so skew in the clustering key does NOT skew
+files), and the per-partition sort spills; cost is one shuffle — paid
+once at write, repaid on every pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sorted_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as parquet clustered on `cluster_by`: range-partition
+    into `num_files` equi-depth key ranges, sort within each, write one
+    file per range."""
+    (
+        df.repartitionByRange(num_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def row_group_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) statistics per row group across all files of a parquet
+    directory — what a scan's row-group pruning consults. Driver-side
+    metadata read (footers only, no data pages)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics is not None:
+                        out.append((col.statistics.min, col.statistics.max))
+    return out
+
+
+def pruning_ratio(path: str, column: str, lo, hi) -> float:
+    """Fraction of row groups a [lo, hi] range predicate can skip based
+    on footer statistics alone (1.0 = everything skippable but the hit
+    range; 0.0 = stats useless, full scan)."""
+    ranges = row_group_ranges(path, column)
+    if not ranges:
+        return 0.0
+    skipped = sum(1 for mn, mx in ranges if mx < lo or mn > hi)
+    return skipped / len(ranges)

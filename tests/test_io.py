@@ -109,3 +109,31 @@ def test_compaction_reduces_files(spark, sample, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == rows_before
     assert {r["p"] for r in df.select("p").distinct().collect()} == {0, 1}
+
+
+def test_sorted_write_enables_row_group_pruning(spark, tmp_path):
+    """Clustered layout: after sorted_write on l_orderkey, row-group
+    min/max ranges are pairwise disjoint (every range predicate can
+    prune) and a narrow predicate can skip >=75% of row groups; the
+    same data written unsorted prunes (near) nothing."""
+    from makerdao_dw_spark.io.layout import pruning_ratio, row_group_ranges, sorted_write
+    from makerdao_dw_spark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    lo_key, hi_key = 100, 200
+
+    clustered = str(tmp_path / "clustered")
+    sorted_write(li, clustered, ["l_orderkey"], num_files=8)
+    ranges = sorted(row_group_ranges(clustered, "l_orderkey"))
+    assert len(ranges) >= 8
+    for (_, prev_max), (next_min, _) in zip(ranges, ranges[1:]):
+        assert next_min >= prev_max  # disjoint-or-touching: stats are usable
+    assert pruning_ratio(clustered, "l_orderkey", lo_key, hi_key) >= 0.75
+
+    shuffled = str(tmp_path / "shuffled")
+    li.repartition(8).write.parquet(shuffled)  # random round-robin layout
+    assert pruning_ratio(shuffled, "l_orderkey", lo_key, hi_key) <= 0.25
+
+    # the clustered table still reads back identically
+    back = spark.read.parquet(clustered)
+    assert back.count() == li.count()
