@@ -54,10 +54,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # min of 2: the first run pays codegen/JIT; the min is the
+        # min of 3: the first run pays codegen/JIT, and this box's
+        # host-level noise swings single runs up to 5x — the min is the
         # steady-state throughput number (what a cluster would see).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)

@@ -19,6 +19,8 @@ from . import (  # noqa: E402,F401
     streaming,
     text,
     text2,
+    timeseries,
+    tpch2,
     training,
     warehouse,
 )

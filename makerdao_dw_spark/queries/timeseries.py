@@ -1,0 +1,285 @@
+"""Time-series smoothing / gap repair / distribution-balance operators.
+
+The reference's analytics query (`queries/makerdao/assets_per_type.sql`
+:41-53) already does LOCF carry-forward and gap-grid filling; these
+operators extend that family with the smoothing and interpolation a
+metrics warehouse needs, plus the class-balance statistics a training-
+data pipeline uses to audit corpus composition.
+
+Cross-engine determinism notes (the hard part of this module):
+
+- EWMA: with decay 1/2 the adjusted-EWMA weights are exact powers of
+  two, so ``value * (1 << rn)`` is an EXACT double scaling (mantissa
+  unchanged). Numerator/denominator are then cast DECIMAL(38,6) per row
+  and summed exactly; the final ratio is one double division + ROUND.
+  No libm pow() anywhere — Java's Math.pow and C's pow disagree by ulps.
+- Interpolation: the daily value is derived from an exact decimal SUM
+  and a COUNT (one double division), so prev/next anchors are identical
+  across engines; the interpolation formula is then identical double
+  arithmetic on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Trailing EWMA per user (decay 1/2, adjusted weights, last 50 events)
+# --------------------------------------------------------------------------
+@query(
+    "ewma_user_values",
+    oracle="""
+WITH trail AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events
+), ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM trail WHERE rn_desc <= 50
+), sums AS (
+  SELECT user_id, event_id, rn,
+         SUM(CAST(value * CAST(1::BIGINT << rn AS DOUBLE) AS DECIMAL(38,6)))
+             OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+         SUM(CAST(CAST(1::BIGINT << rn AS DOUBLE) AS DECIMAL(38,6)))
+             OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+  FROM ordered
+)
+SELECT user_id, event_id,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+FROM sums
+ORDER BY user_id, rn
+""",
+    tags=("timeseries", "window", "ewma"),
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted EWMA (pandas ewm(alpha=0.5, adjust=True) semantics) of
+    each user's event values over their trailing 50 events:
+
+        ewma_i = sum_j w_j x_j / sum_j w_j,   w_j = (1/2)^(i-j) ∝ 2^j
+
+    The 2^-i factor cancels in the ratio, so both running sums use the
+    POSITION-ONLY weight 2^rn (rn <= 50 after the trailing filter, so
+    the bigint shift never overflows and value*2^rn stays well inside
+    double range). Scale: two narrow windows over the same (user_id)
+    hash partitioning — one exchange, no join, no iteration."""
+    e = _t(spark, sf_dir, "events")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    trailing = (
+        e.withColumn("rn_desc", F.row_number().over(w_desc))
+        .filter(F.col("rn_desc") <= 50)
+        .drop("rn_desc")
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = trailing.withColumn("rn", F.row_number().over(w_asc))
+    weight = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rn) AS DOUBLE)")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sums = ordered.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum((F.col("value") * weight).cast("decimal(38,6)")).over(run).alias("num"),
+        F.sum(weight.cast("decimal(38,6)")).over(run).alias("den"),
+    )
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+            "ewma"
+        ),
+        "rn",
+    ).orderBy("user_id", "rn").drop("rn")
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation over a per-user daily spine
+# --------------------------------------------------------------------------
+@query(
+    "interpolate_daily_values",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(38,6))) AS v_sum, COUNT(*) AS v_n
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, s.d,
+         CAST(daily.v_sum AS DOUBLE) / daily.v_n AS v
+  FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+), anchored AS (
+  SELECT user_id, d, v,
+         LAST_VALUE(v IGNORE NULLS) OVER w_prev AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER w_prev AS prev_d,
+         FIRST_VALUE(v IGNORE NULLS) OVER w_next AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER w_next AS next_d
+  FROM grid
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, d,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (CAST(d - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+       END, 6) AS v_interp,
+       (v IS NULL) AS was_gap
+FROM anchored
+ORDER BY user_id, d
+""",
+    tags=("timeseries", "interpolation", "gap-fill"),
+)
+def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily average series with linear interpolation across
+    missing days (edges clamp to nearest observation — same as pandas
+    interpolate(limit_direction='both')).
+
+    Extends the reference's gap-grid trick (assets_per_type.sql:25-29
+    builds a noop grid; :53 does LOCF) from step-carry to true linear
+    repair. Scale shape: the spine comes from sequence()+explode (no
+    join, no shuffle beyond the user_id grouping); anchors are two
+    opposite-direction frames over the SAME (user_id, d) sort, so the
+    second window reuses the first's exchange+sort."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("v_sum"),
+        F.count(F.lit(1)).alias("v_n"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+    )
+    grid = spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        "d",
+        (F.col("v_sum").cast("double") / F.col("v_n")).alias("v"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    anchored = grid.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_d, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    frac = F.datediff(F.col("d"), F.col("prev_d")).cast("double") / F.datediff(
+        F.col("next_d"), F.col("prev_d")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return anchored.select(
+        "user_id",
+        "d",
+        F.round(interp, 6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("user_id", "d")
+
+
+# --------------------------------------------------------------------------
+# Corpus class-balance audit: per-source language distribution stats
+# --------------------------------------------------------------------------
+@query(
+    "class_balance_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT source, lang, n,
+         SUM(n) OVER (PARTITION BY source) AS n_src,
+         COUNT(*) OVER (PARTITION BY source) AS k_langs
+  FROM counts
+)
+SELECT source,
+       MAX(k_langs) AS k_langs,
+       CAST(MAX(n_src) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(-(CAST(n AS DOUBLE)/n_src) * LN(CAST(n AS DOUBLE)/n_src)
+                       AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy,
+       ROUND(1.0 - CAST(SUM(CAST((CAST(n AS DOUBLE)/n_src) * (CAST(n AS DOUBLE)/n_src)
+                       AS DECIMAL(38,12))) AS DOUBLE), 6) AS gini_impurity,
+       ROUND(CAST(MAX(n) AS DOUBLE) / MAX(n_src), 6) AS majority_share
+FROM totals
+GROUP BY source
+ORDER BY source
+""",
+    tags=("training-data", "balance", "entropy"),
+)
+def class_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition audit: Shannon entropy, Gini impurity, and
+    majority-class share of the language mix within each source — the
+    stats a training-data pipeline monitors to keep a 100 TB corpus's
+    language balance from drifting. Per-term contributions are cast to
+    DECIMAL(38,12) before the SUM so the handful-of-langs addition
+    order can't flip a low bit (house determinism rule)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("source")
+    totals = counts.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(w_src).alias("n_src"),
+        F.count(F.lit(1)).over(w_src).alias("k_langs"),
+    )
+    p = F.col("n").cast("double") / F.col("n_src")
+    return (
+        totals.groupBy("source")
+        .agg(
+            F.max("k_langs").alias("k_langs"),
+            F.max("n_src").alias("n_docs"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("entropy"),
+            F.round(
+                F.lit(1.0) - F.sum((p * p).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("gini_impurity"),
+            F.round(F.max("n").cast("double") / F.max("n_src"), 6).alias(
+                "majority_share"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,230 @@
+"""Classic warehouse join/agg shapes, wave 2 (TPC-H Q5/Q10/Q14/Q19
+analogues over the driver's star schema).
+
+Why these four: each exercises a DISTINCT physical plan pattern the
+reference's warehouse (PostgreSQL/Snowflake executing
+`queries/makerdao/assets_per_type.sql`) would rely on its external
+engine for, and that a 100 TB Spark deployment must get right:
+
+- Q5  — 6-way snowflake join with a cycle (customer.nation == supplier
+  .nation): dimension broadcasts + one fact-fact shuffle join.
+- Q10 — fact-side filter + grouped top-k: TakeOrderedAndProject, never
+  a global sort.
+- Q14 — conditional aggregation over one joined scan (no self-join).
+- Q19 — disjunctive OR-of-ANDs join residual: the join key stays an
+  equi-join on partkey; only the residual predicate is disjunctive.
+  (A naive engine turns this into a cross product; Catalyst keeps the
+  hash join and evaluates the OR as a post-join filter, and pushes the
+  single-table conjuncts below the join.)
+
+Determinism contract (driver hash-compare): money math is cast to
+DECIMAL(38,6) per row BEFORE SUM so aggregation order can't flip low
+bits; ratios are derived from the exact decimal sums with one double
+division + ROUND at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: local-supplier volume (snowflake join with nation cycle)
+# --------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, SUM({_REV}) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("join", "tpch-shape", "snowflake"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: revenue by supplier nation where the supplier
+    is in the customer's own nation, one region, two order-years.
+
+    Scale shape: region/nation/supplier/customer broadcast (all are
+    dimension-sized at any SF — supplier/customer grow but stay orders
+    of magnitude below lineitem); orders⋈lineitem is the only shuffle
+    join. The nation-equality cycle (c_nationkey = s_nationkey) arrives
+    as a residual on the supplier join, not a second shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_REV)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item reporting (grouped top-k customers)
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       SUM({_REV}) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "tpch-shape", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: top-20 customers by revenue lost to returns
+    in one half-year. orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + a single driver merge of 20-row heads, never a
+    global sort (the difference between O(n log 20) and a full shuffle
+    at 100 TB). Tie-break on c_custkey makes top-20 unique."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.expr(_REV)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional agg over one joined scan)
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS promo_revenue,
+       SUM({_REV}) AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
+                   / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_share_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+    tags=("join", "tpch-shape", "conditional-agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: % of one month's revenue from PROMO parts.
+    One scan, one broadcast join, one aggregate — the numerator is a
+    CASE inside the same SUM pass, not a second join/scan. The ratio is
+    derived from the two exact decimal sums with a single double
+    division (deterministic across engines), not decimal division
+    (whose result scale rules differ between Spark and DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.expr(_REV)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_revenue")
+    total = F.sum(rev).alias("total_revenue")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(promo, total)
+        .withColumn(
+            "promo_share_pct",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_revenue").cast("double")
+                / F.col("total_revenue").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive OR-of-ANDs join residual
+# --------------------------------------------------------------------------
+_Q19_PRED = """
+   (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT SUM({_REV}) AS revenue, COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED}
+""",
+    tags=("join", "tpch-shape", "disjunctive"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: revenue under an OR of per-brand (size,
+    quantity) envelopes. The equi-key p_partkey = l_partkey keeps this a
+    hash join; the disjunction is a residual filter evaluated post-join.
+    Catalyst additionally extracts the common single-table implications
+    (p_brand IN (...), p_size <= 35, l_quantity <= 30) and pushes them
+    below the join into the scans — asserted in test_plan_shape.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(
+        F.expr(_Q19_PRED)
+    )
+    return joined.agg(
+        F.sum(F.expr(_REV)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -175,3 +175,41 @@ def test_packing_single_hash_exchange(spark):
     p = plan_str(run(spark, "pack_sequences"), "simple")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "EvalPython" not in p
+
+
+def test_q19_disjunction_pushes_per_table_envelopes(spark):
+    """Q19 shape: the OR-of-ANDs must stay a residual on an equi hash
+    join AND have its single-table implications pushed into BOTH scans
+    (brand/size envelope to part, quantity envelope to lineitem)."""
+    p = plan_str(run(spark, "q19_disjunctive_predicates"))
+    assert "EqualTo(p_brand,Brand#12)" in p, p
+    assert "LessThanOrEqual(l_quantity,30.0)" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, "disjunction broke the equi-join"
+
+
+def test_q5_no_fact_shuffle_for_dims(spark):
+    """Q5 snowflake: every dimension side broadcasts; at most the
+    fact-fact join (orders x lineitem) may sort-merge."""
+    p = plan_str(run(spark, "q5_local_supplier_volume"), "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_q10_topk_is_take_ordered(spark):
+    p = plan_str(run(spark, "q10_returned_items"), "simple")
+    assert "TakeOrderedAndProject" in p, "top-20 materialized a full sort"
+
+
+def test_ewma_windows_share_one_exchange(spark):
+    """Both EWMA windows partition by user_id: the plan must hash-
+    exchange exactly once (the ascending re-window is sort-only)."""
+    p = plan_str(run(spark, "ewma_user_values"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_interpolation_anchors_in_single_window(spark):
+    """All four interpolation anchors (prev/next value and date) must
+    evaluate in ONE Window node over one sort — opposite-direction
+    frames do not justify two window stages."""
+    p = plan_str(run(spark, "interpolate_daily_values"), "simple")
+    assert p.count("Window [") == 1, p
