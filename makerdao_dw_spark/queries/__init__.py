@@ -22,5 +22,6 @@ from . import (  # noqa: E402,F401
     timeseries,
     tpch2,
     training,
+    training2,
     warehouse,
 )

@@ -213,3 +213,32 @@ def test_interpolation_anchors_in_single_window(spark):
     frames do not justify two window stages."""
     p = plan_str(run(spark, "interpolate_daily_values"), "simple")
     assert p.count("Window [") == 1, p
+
+
+def test_pii_redaction_is_map_only(spark):
+    """PII redaction runs on every corpus byte: it must be one codegen
+    map stage — no shuffle, no Python — or it can't ship at 100 TB."""
+    p = plan_str(run(spark, "pii_redact_docs"), "simple")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "EvalPython" not in p
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """Gopher repetition rules are per-doc array math: narrow plan,
+    zero hash exchange, no Python."""
+    p = plan_str(run(spark, "gopher_repetition_stats"), "simple")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "EvalPython" not in p
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The eval-benchmark n-gram set is tiny by construction: the
+    overlap join must broadcast, never sort-merge."""
+    p = plan_str(run(spark, "contamination_ngram_overlap"), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_table_diff_is_full_outer(spark):
+    p = plan_str(run(spark, "table_diff_snapshot"), "simple")
+    assert "FullOuter" in p, p
