@@ -16,6 +16,7 @@ from . import (  # noqa: E402,F401
     olap,
     relational,
     similarity,
+    sketches,
     streaming,
     text,
     text2,

@@ -1,0 +1,149 @@
+"""Mergeable-sketch rollups (Apache DataSketches via Spark 4 built-ins).
+
+The defining 100 TB aggregation pattern: compute a tiny mergeable
+summary per partition/day/segment ONCE, persist it in a rollup table,
+and answer distinct-count / set-overlap / quantile questions later by
+merging kilobyte sketches instead of rescanning petabytes. The
+reference delegates all aggregation to its warehouse; at our target
+scale these are the operators that replace "COUNT(DISTINCT) over the
+whole history" jobs.
+
+All three queries are **rows-only** for the driver (DuckDB has no
+DataSketches build), with accuracy and merge-consistency pinned by
+`tests/test_sketches.py`:
+
+- HLL union-of-parts estimate == sketch-of-whole estimate (register
+  max-merge is exact, order-independent), and within 2% of exact
+  distinct counts.
+- Theta union/intersection/difference within 5% of exact set algebra.
+- KLL merged quantiles within rank-error bounds of the exact ranks.
+
+Determinism: HLL registers and theta's k-smallest-hash retention are
+order-independent, so those two queries return identical rows on every
+run (pinned by test). KLL is the exception — DataSketches KLL compaction
+draws random offsets, so its estimates legitimately wobble inside the
+rank-error envelope run-to-run; the test pins shape + envelope instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# HLL rollup table: daily sketches, estimates read per-day AND merged
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_daily_active",
+    oracle=None,  # rows-only: DuckDB has no DataSketches; accuracy pinned in tests
+    tags=("sketch", "hll", "rollup"),
+)
+def sketch_hll_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-users rollup: one HLL sketch of `user_id` per day,
+    read back as per-day estimates plus a TOTAL row computed by merging
+    the daily sketches — never rescanning the events.
+
+    This is the materialized-rollup pattern: the expensive pass runs
+    once per partition (map-side partial sketch, tiny shuffle of
+    ~KB registers), and any date-range distinct count is then a merge
+    of |days| sketches. Union-of-parts == sketch-of-whole exactly,
+    because HLL merge is a register-wise max."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("d").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total = daily.agg(
+        F.lit("TOTAL").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    return per_day.unionByName(total).orderBy("scope")
+
+
+# --------------------------------------------------------------------------
+# Theta set algebra: audience overlap between two event types
+# --------------------------------------------------------------------------
+@query(
+    "sketch_theta_userday_overlap",
+    oracle=None,  # rows-only: set-algebra accuracy pinned in tests
+    tags=("sketch", "theta", "set-algebra"),
+)
+def sketch_theta_userday_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta sketches: the distinct (user, day)
+    activity keys of `click` vs `purchase` events, with union /
+    intersection / difference estimated from two kilobyte sketches
+    rather than a self-join of the fact table.
+
+    Theta is the sketch family that supports INTERSECTION and
+    DIFFERENCE (HLL only unions): at 100 TB, "users who did A and B"
+    as exact distinct requires a shuffle of both sides; as theta
+    algebra it's a merge of two persisted summaries. Items are
+    user-day strings so the sets only partially overlap (every user
+    eventually does everything; user-days discriminate)."""
+    e = _t(spark, sf_dir, "events")
+    keyed = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.concat_ws("_", F.col("user_id"), F.to_date("ts")).alias("user_day"),
+    )
+    sk = keyed.groupBy("event_type").agg(F.theta_sketch_agg("user_day").alias("sk"))
+    wide = sk.groupBy().pivot("event_type", ["click", "purchase"]).agg(F.first("sk"))
+    a, b = F.col("click"), F.col("purchase")
+    return wide.select(
+        F.theta_sketch_estimate(a).alias("est_click"),
+        F.theta_sketch_estimate(b).alias("est_purchase"),
+        F.theta_sketch_estimate(F.theta_union(a, b)).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection(a, b)).alias("est_intersection"),
+        F.theta_sketch_estimate(F.theta_difference(a, b)).alias("est_click_only"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketches: per-segment + merged distribution summary
+# --------------------------------------------------------------------------
+@query(
+    "sketch_kll_value_quantiles",
+    oracle=None,  # rows-only: rank-error bound pinned in tests
+    tags=("sketch", "kll", "quantiles"),
+)
+def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution rollup: one KLL double sketch of `value` per
+    event type, read back as p25/p50/p90/p99, plus an ALL row whose
+    sketch is the pairwise merge of the per-type sketches (there is no
+    merge *aggregate* for KLL in Spark 4.1 — `kll_sketch_merge_double`
+    is binary — so the ALL row folds collect_list with a higher-order
+    aggregate(), which is fine because |segments| is small by
+    definition; the data-sized pass is the per-segment sketch_agg).
+
+    Same scale story as the HLL rollup but for quantiles: percentile
+    questions over any segment union become sketch merges, replacing
+    exact `percentile()` sorts that shuffle the full column."""
+    e = _t(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("sk"))
+    merged = sk.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(event_type, sk))),"
+            " CAST(NULL AS BINARY),"
+            " (acc, x) -> CASE WHEN acc IS NULL THEN x.sk"
+            "                  ELSE kll_sketch_merge_double(acc, x.sk) END)"
+        ).alias("sk")
+    ).select(F.lit("ALL").alias("segment"), "sk")
+    both = sk.select(F.col("event_type").alias("segment"), "sk").unionByName(merged)
+
+    def q(p: float, name: str) -> F.Column:
+        return F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(name)
+
+    return both.select(
+        "segment", q(0.25, "p25"), q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    ).orderBy("segment")

@@ -228,3 +228,138 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_REV)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: priority checking (correlated EXISTS -> semi-join to fact)
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "tpch-shape", "exists"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: one quarter's orders having at least one
+    returned line, counted by priority. (The reference schema lacks
+    commit/receipt dates; `l_returnflag = 'R'` stands in for the late-
+    delivery predicate — the plan shape is identical.) The correlated
+    EXISTS decorrelates to a LEFT SEMI join: the fact side is scanned
+    once, the filter prunes orders before the join, and no lineitem
+    columns survive the semi-join into the aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (outer join + double agg)
+# --------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority NOT LIKE '1-%'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "tpch-shape", "double-agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: how many customers placed k orders, for each
+    k — including k=0, which is why the join must be a LEFT OUTER with
+    the predicate ON the join (filtering WHERE would silently drop the
+    zero-order customers). Two aggregations: per-customer COUNT of a
+    nullable key, then the distribution over counts. Scale: first agg
+    shuffles on c_custkey (pre-partitioned by the join), second input
+    is |distinct counts| rows — negligible."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").like("1-%"))
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: anti join + scalar-subquery threshold
+# --------------------------------------------------------------------------
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+WITH threshold AS (
+  SELECT AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_bal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("join", "tpch-shape", "anti-join"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: customers with above-average balance (among
+    positive balances) with no order since 2000, rolled up by nation.
+    Physical shape: the scalar AVG subquery broadcasts as a one-row
+    cross input; the NOT EXISTS decorrelates to LEFT ANTI against only
+    the o_custkey column of orders (column-pruned to the join key).
+    Balance sums aggregate in DECIMAL(38,6) — c_acctbal is a double, so
+    per-row cast BEFORE SUM keeps the total order-independent."""
+    c = _t(spark, sf_dir, "customer")
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(38,6)")).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
