@@ -11,6 +11,7 @@ from . import (  # noqa: E402,F401
     dedup,
     flagship,
     graph,
+    incremental,
     modern,
     multimodal,
     olap,
@@ -24,5 +25,6 @@ from . import (  # noqa: E402,F401
     tpch2,
     training,
     training2,
+    udaf,
     warehouse,
 )

@@ -1,0 +1,110 @@
+"""User-defined aggregate (Arrow-batched pandas GROUPED_AGG UDAF).
+
+The last user-defined surface in the engine: scalar Python UDFs power
+the ABI decoders (`decode/`), a Python UDTF powers the lateral split
+(`queries/modern.py`) — this module adds the UDAF, the shape Spark
+reserves for aggregation logic its built-ins can't express. The demo
+statistic is the Gini coefficient of order values per priority class
+(a concentration measure built-in SQL has no aggregate for).
+
+UDAFs are the slow path by design — one Arrow batch transfer per group
+set — so the house rule stands: this is the ONLY aggregate in the
+registry that leaves the JVM, and the plan test pins that every other
+relational query stays EvalPython-free. Scale: grouped-agg UDAFs
+shuffle exactly like a built-in agg (hash partition on keys, no
+collect); the Python cost is per-group O(n log n) for the sort.
+
+Cross-engine determinism: inputs arrive as DECIMAL(38,6) (exact), the
+rank-weighted sums are computed in exact decimal arithmetic inside the
+UDAF — Arrow delivers them as Python Decimal objects — and the final
+ratio is ONE double division, mirrored term-for-term by the DuckDB
+oracle's window formulation. Rank ties are harmless: tied values
+contribute identical products under any tie order.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _make_gini_udaf():
+    # built lazily: the pandas_udf decorator parses its return-type
+    # string through the active SparkSession, so a module-level
+    # definition would break registry import in session-less contexts
+    @pandas_udf("double")
+    def _gini_decimal(v: pd.Series) -> float:
+        """Gini = (2*Σ i·x_(i) − (n+1)·Σx) / (n·Σx), x sorted
+        ascending, i = 1..n. Numerator/denominator are exact Decimal;
+        one double division at the end."""
+        xs = sorted(v.dropna())
+        n = len(xs)
+        if n == 0:
+            return None
+        s0 = sum(xs, Decimal(0))
+        if s0 == 0:
+            return 0.0
+        s1 = sum((Decimal(i + 1) * x for i, x in enumerate(xs)), Decimal(0))
+        return float(2 * s1 - (n + 1) * s0) / float(n * s0)
+
+    return _gini_decimal
+
+
+@query(
+    "udaf_gini_order_values",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(38,6))) AS rn
+  FROM orders
+), sums AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         SUM(CAST(rn * x AS DECIMAL(38,6))) AS s1,
+         SUM(x) AS s0
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders,
+       ROUND(CAST(2 * s1 - (n_orders + 1) * s0 AS DOUBLE)
+             / CAST(n_orders * s0 AS DOUBLE), 6) AS gini
+FROM sums
+ORDER BY o_orderpriority
+""",
+    tags=("udaf", "pandas", "statistics"),
+)
+def udaf_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value concentration per priority class via a pandas
+    GROUPED_AGG UDAF, verified against a pure-SQL window formulation of
+    the same exact-decimal Gini formula in DuckDB — proving the Arrow
+    decimal round-trip and the UDAF's arithmetic agree with a
+    relational engine to the last rounded digit."""
+    o = _t(spark, sf_dir, "orders")
+    # Spark disallows mixing a GROUPED_AGG pandas UDAF with built-in
+    # aggregates in one agg() [INVALID_PANDAS_UDF_PLACEMENT]; the count
+    # comes from a separate agg joined back on the (tiny) group key.
+    gini_udaf = _make_gini_udaf()
+    gini = o.groupBy("o_orderpriority").agg(
+        F.round(gini_udaf(F.col("o_totalprice").cast("decimal(38,6)")), 6).alias(
+            "gini"
+        )
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        gini.join(F.broadcast(counts), "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "gini")
+        .orderBy("o_orderpriority")
+    )

@@ -242,3 +242,20 @@ def test_contamination_benchmark_broadcasts(spark):
 def test_table_diff_is_full_outer(spark):
     p = plan_str(run(spark, "table_diff_snapshot"), "simple")
     assert "FullOuter" in p, p
+
+
+def test_ivm_branches_push_disjoint_date_filters(spark):
+    """IVM: the materialized branch and delta branch must each push
+    their date bound into the scan — the delta scan is what keeps the
+    daily job O(delta) instead of O(history)."""
+    p = plan_str(run(spark, "ivm_incremental_rollup"))
+    assert "LessThan(l_shipdate" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_udaf_is_the_only_python_aggregate(spark):
+    """The Gini UDAF is the registry's one sanctioned python aggregate:
+    its plan uses the Arrow grouped-agg node, and the values reach it
+    already cast to exact decimal."""
+    p = plan_str(run(spark, "udaf_gini_order_values"), "simple")
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p, p
