@@ -83,7 +83,18 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket."""
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
+
+    Formulated as bucket-grouping + in-bucket pair generation, NOT a
+    band self-join: a self-join evaluates the shingle->minhash->band
+    pipeline twice (exchange reuse only covers the scan, each join
+    side re-projects the signatures) and shuffles twice. Here the
+    signatures are computed once, one hash exchange groups the bucket
+    members, and the a<b pairs come from array combinatorics on the
+    sorted bucket. At 100 TB the in-bucket expansion is quadratic in
+    bucket size, so production adds a bucket-size cap (boilerplate
+    guard); bucket keys are 128-bit md5 band hashes — uniform,
+    skew-free."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
         "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
@@ -91,16 +102,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_hashes("sig", BANDS, ROWS_PER_BAND)).alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                "      y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )

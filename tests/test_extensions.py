@@ -40,9 +40,14 @@ def test_simhash_matches_python_reference(spark):
 def test_minhash_lsh_finds_constructed_dupes(spark):
     """Two near-identical docs must collide in >=1 LSH band; an unrelated
     doc must not pair with them."""
-    base = "the quick brown fox jumps over the lazy dog again and again " * 5
-    near = base.replace("lazy", "sleepy", 1)
-    other = "completely different content about spark query engines and shuffles " * 5
+    # 120 distinct words so one edit leaves Jaccard ~0.97: the miss-all-
+    # bands probability is then <0.01% for ANY reasonable hash family
+    # (the old 12-distinct-word fixture sat at J~0.8, where band
+    # collisions are a coin flip that happened to land for the previous
+    # hash family and not for others)
+    base = " ".join(f"w{i}" for i in range(120))
+    near = base.replace("w60", "sixty", 1)
+    other = " ".join(f"z{i}" for i in range(120))
     docs = spark.createDataFrame(
         [(1, base), (2, near), (3, other)], "doc_id long, text string"
     )
