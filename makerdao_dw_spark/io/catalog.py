@@ -55,3 +55,37 @@ def table_exists(spark: SparkSession, database: str, table: str) -> bool:
     """The check classes.py:64 got wrong (operator-precedence bug made it
     match any table in the lowercased schema): exact (db, table) match."""
     return spark.catalog.tableExists(f"`{database}`.`{table}`")
+
+
+def analyze_table(
+    spark: SparkSession, database: str, table: str, columns: list[str] | None = None
+) -> dict[str, str]:
+    """Compute table (and optionally column) statistics for the CBO.
+
+    Parquet scans already give Catalyst a sizeInBytes estimate from file
+    footers, but row counts and column NDV/min/max — what join
+    reordering and broadcast decisions actually want — only exist after
+    ANALYZE. At 100 TB this runs per partition-load as part of the
+    ingest job (cheap: it is a count + approx-NDV scan), and keeps CBO
+    choices stable as tables grow past rule-of-thumb thresholds.
+
+    Returns the table statistics as reported by DESCRIBE EXTENDED
+    (e.g. {'sizeInBytes': '...', 'rowCount': '...'}).
+    """
+    qualified = f"`{database}`.`{table}`"
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
+    stats_line = next((r.data_type for r in rows if r.col_name == "Statistics"), "")
+    out: dict[str, str] = {}
+    # "X bytes, Y rows" -> {'sizeInBytes': X, 'rowCount': Y}
+    for part in stats_line.split(","):
+        part = part.strip()
+        if part.endswith("bytes"):
+            out["sizeInBytes"] = part.split()[0]
+        elif part.endswith("rows"):
+            out["rowCount"] = part.split()[0]
+    return out

@@ -110,3 +110,29 @@ def run_suite(df: DataFrame, scalar_checks: list[tuple[str, Column]], extra: lis
     for e in extra:
         out = out.unionByName(e)
     return out.orderBy("constraint")
+
+
+def observed(df: DataFrame, name: str, checks: list[tuple[str, Column]]):
+    """Attach the scalar constraint suite to a DataFrame as zero-cost
+    in-flight metrics (`Dataset.observe`): the violation counters are
+    accumulated by the SAME job that produces/writes `df` — no second
+    scan, no extra shuffle, metrics available the moment the action
+    finishes.
+
+    This is the production shape for "validate while exporting" at
+    100 TB: `run_suite` costs one dedicated pass; `observed` costs
+    nothing beyond the export itself. Returns ``(observed_df,
+    observation)``; read ``observation.get`` after any action on
+    ``observed_df`` to get ``{'n_rows': ..., '<constraint>': count}``.
+
+    (Reference parity note: this replaces the reference's per-row
+    print-and-skip guardrails, e.g. eth-contract.py:114-118, with
+    counters that do not interrupt the pipeline.)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(viol, 1).otherwise(0)).alias(cname) for cname, viol in checks
+    ]
+    return df.observe(obs, *metrics), obs

@@ -137,3 +137,26 @@ def test_sorted_write_enables_row_group_pruning(spark, tmp_path):
     # the clustered table still reads back identically
     back = spark.read.parquet(clustered)
     assert back.count() == li.count()
+
+
+def test_analyze_table_feeds_cbo_broadcast(spark, tmp_path):
+    """ANALYZE TABLE must surface rowCount stats, and an analyzed
+    dimension-sized table must auto-broadcast in a join WITHOUT an
+    explicit hint (the CBO path the ingest jobs rely on at scale)."""
+    from makerdao_dw_spark.io.catalog import analyze_table, ensure_database, save_table
+    from makerdao_dw_spark.session import load_table
+
+    from .conftest import SF_DIR
+
+    ensure_database(spark, "statsdb")
+    nation = load_table(spark, SF_DIR, "nation")
+    save_table(nation, "statsdb", "nation_dim", mode="overwrite")
+    stats = analyze_table(spark, "statsdb", "nation_dim", columns=["n_nationkey"])
+    assert int(stats["rowCount"]) == nation.count()
+    cust = load_table(spark, SF_DIR, "customer")
+    j = cust.join(
+        spark.table("statsdb.nation_dim"),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]

@@ -63,3 +63,23 @@ def test_quality_scalar_checks_share_one_scan(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("localrelation") + plan.lower().count("logicalrdd") == 1, plan
+
+
+def test_observed_metrics_free_with_export(spark):
+    """observe(): DQ counters accumulate in the same job as the export
+    action and match a dedicated recompute."""
+    from makerdao_dw_spark.operators.quality import in_range, not_null, observed
+    from makerdao_dw_spark.session import load_table
+
+    from .conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    checks = [not_null("o_custkey"), in_range("o_totalprice", lo=0.0)]
+    out, obs = observed(o.filter(F.col("o_orderstatus") != "X"), "dq_orders", checks)
+    n = out.count()  # the "export" action
+    got = obs.get
+    assert got["n_rows"] == n
+    exact_null = o.filter(F.col("o_custkey").isNull()).count()
+    exact_neg = o.filter(F.col("o_totalprice") < 0).count()
+    assert got["not_null(o_custkey)"] == exact_null
+    assert got["in_range(o_totalprice)"] == exact_neg
