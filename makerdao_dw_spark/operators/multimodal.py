@@ -109,3 +109,56 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_digest", StringType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, k: int = 8) -> DataFrame:
+    """Frame-sampling stage for video payloads: up to `k` evenly spaced
+    frame indices per video, one output row per sampled frame.
+
+    Arrow-batched fan-out (`mapInPandas` with a >1 output-per-input
+    ratio) — the canonical shape for video: a 100 TB corpus of 1-minute
+    clips becomes ~10^2 more rows after sampling, so this stage must
+    produce frames executor-side, never collect-and-explode. The stub
+    "frame" is md5(payload:idx)-derived bytes — deterministic and
+    reproducible in SQL, which is what lets the registered query carry
+    a FULL DuckDB oracle even though the stage itself is Python: the
+    oracle proves the Arrow plumbing preserves the decode semantics
+    bit-for-bit. Swap the digest lines for real ffmpeg frame extraction
+    in deployment; every shape survives unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if meta["media_type"] != "video/mp4":
+                    continue
+                raw = bytes(payload)
+                n_frames = len(raw) % 300
+                if n_frames <= 0:
+                    continue
+                for idx in sorted({kk * n_frames // k for kk in range(k)}):
+                    digest = hashlib.md5(raw + b":" + str(idx).encode()).hexdigest()
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": n_frames,
+                            "frame_idx": idx,
+                            "frame_digest": digest,
+                            "frame_bytes": bytes.fromhex(digest)[:8],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -63,3 +63,39 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) % 300 AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 300 > 0
+), idxs AS (
+  SELECT doc_id, text, n_frames,
+         UNNEST(list_sort(list_distinct(
+           list_transform(generate_series(0, 7), k -> CAST(k * n_frames // 8 AS INT))
+         ))) AS frame_idx
+  FROM vids
+)
+SELECT doc_id, n_frames, frame_idx,
+       md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+FROM idxs
+ORDER BY doc_id, frame_idx
+""",
+    tags=("multimodal", "mapInPandas", "frame-sampling"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling over the video subset: the Arrow
+    fan-out stage (operators/multimodal.sample_frames) checked against
+    a full DuckDB oracle — the stub's digest math is SQL-expressible,
+    so the driver verifies the mapInPandas plumbing value-for-value
+    (frame_bytes excluded: derived from the digest, binary)."""
+    from ..operators.multimodal import sample_frames
+
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    frames = sample_frames(attach_fake_payload(d), k=8)
+    return frames.select("doc_id", "n_frames", "frame_idx", "frame_digest").orderBy(
+        "doc_id", "frame_idx"
+    )

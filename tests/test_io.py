@@ -149,8 +149,14 @@ def test_analyze_table_feeds_cbo_broadcast(spark, tmp_path):
     from .conftest import SF_DIR
 
     ensure_database(spark, "statsdb")
+    spark.sql("DROP TABLE IF EXISTS statsdb.nation_dim")
     nation = load_table(spark, SF_DIR, "nation")
-    save_table(nation, "statsdb", "nation_dim", mode="overwrite")
+    # external table at tmp_path: hermetic across sessions (a managed
+    # table's warehouse dir outlives the per-session derby metastore,
+    # and a fresh session then collides with the leftover location)
+    save_table(
+        nation, "statsdb", "nation_dim", mode="overwrite", path=str(tmp_path / "nation_dim")
+    )
     stats = analyze_table(spark, "statsdb", "nation_dim", columns=["n_nationkey"])
     assert int(stats["rowCount"]) == nation.count()
     cust = load_table(spark, SF_DIR, "customer")

@@ -201,3 +201,72 @@ def test_streaming_datasource_offsets_and_resume(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == head + 1
+
+
+def test_serving_table_upsert_exactly_once(spark, tmp_path):
+    """stream_serving_aggregates: totals match a batch recompute after
+    incremental drains, a checkpointed re-run with no new data changes
+    nothing, and replaying an already-applied update is a no-op (the
+    update-mode + MERGE design is idempotent by construction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from makerdao_dw_spark.io.merge import merge_dataframes
+    from makerdao_dw_spark.session import load_table
+    from makerdao_dw_spark.streaming.jobs import stream_serving_aggregates
+
+    from .conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    landing = str(tmp_path / "landing")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    first = events.filter(F.col("user_id") % 2 == 0)
+    first.write.mode("overwrite").parquet(os.path.join(landing, "f1"))
+    schema = spark.read.parquet(os.path.join(landing, "f1")).schema
+
+    def expected(df):
+        return {
+            r.user_id: (r.n, str(r.s))
+            for r in df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+            )
+            .collect()
+        }
+
+    def serving_state():
+        return {
+            r.user_id: (r.n_events, str(r.sum_value))
+            for r in spark.read.parquet(serving).collect()
+        }
+
+    stream_serving_aggregates(spark, landing, schema, serving, ckpt)
+    assert serving_state() == expected(first)
+
+    # drain a second incremental file: totals must cover BOTH files
+    events.filter(F.col("user_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(landing, "f2")
+    )
+    stream_serving_aggregates(spark, landing, schema, serving, ckpt)
+    assert serving_state() == expected(events)
+
+    # checkpointed re-run with nothing new: no change
+    stream_serving_aggregates(spark, landing, schema, serving, ckpt)
+    assert serving_state() == expected(events)
+
+    # simulate an at-least-once replay: re-applying the full totals
+    # upsert over the current serving table must be a no-op
+    replay = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+    )
+    merged = merge_dataframes(spark.read.parquet(serving), replay, ["user_id"])
+    assert {
+        r.user_id: (r.n_events, str(r.sum_value)) for r in merged.collect()
+    } == expected(events)
