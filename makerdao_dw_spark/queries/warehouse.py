@@ -394,3 +394,93 @@ def concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("long").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join: probe events against SCD2 dimension versions
+# --------------------------------------------------------------------------
+@query(
+    "pit_join_purchase_state",
+    oracle="""
+WITH browse AS (
+    SELECT user_id, event_type, ts, event_id FROM events
+    WHERE event_type IN ('signup', 'view', 'click')
+), runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+    FROM browse
+), intervals AS (
+    SELECT user_id, event_type AS state, MIN(ts) AS valid_from,
+           MIN(event_id) AS first_event_id
+    FROM runs GROUP BY user_id, event_type, grp
+), versions AS (
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, first_event_id) AS valid_to
+    FROM intervals
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       v.state AS state_at_purchase, v.valid_from AS state_since
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN versions v
+  ON p.user_id = v.user_id
+ AND p.ts >= v.valid_from
+ AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+ORDER BY p.event_id
+""",
+    tags=("warehouse", "pit-join", "scd2"),
+)
+def pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase picks the SCD2 browsing-state
+    version (signup/view/click runs, built gaps-and-islands style) that
+    was valid at the purchase timestamp — the canonical "join the fact
+    to the dimension AS OF event time" warehouse operation, here as an
+    interval join rather than the LOCF union trick (asof_join_order_
+    events) so both physical strategies are covered.
+
+    Scale shape: equi join on user_id with the interval bounds as a
+    residual — one co-partitioned shuffle each side, and the half-open
+    [from, to) tiling guarantees <=1 match per probe so the join never
+    amplifies. Dimension-version tables are |state changes|-sized, far
+    smaller than the fact; with a broadcastable dimension this becomes
+    a map-only lookup."""
+    e = _t(spark, sf_dir, "events")
+    browse = e.filter(F.col("event_type").isin("signup", "view", "click")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = browse.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    intervals = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("first_event_id"),
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
+    versions = intervals.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        F.lead("valid_from").over(w_lead).alias("valid_to"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        p.join(
+            versions,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+            F.col("state").alias("state_at_purchase"),
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("event_id")
+    )

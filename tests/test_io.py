@@ -166,3 +166,33 @@ def test_analyze_table_feeds_cbo_broadcast(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:500]
+
+
+def test_schema_evolution_abi_upgrade(spark, tmp_path):
+    """ABI-upgrade simulation: a call table written pre-upgrade (5
+    params) and post-upgrade (6 params) must read back as one table
+    with the union schema, NULL for the new column on old rows."""
+    from makerdao_dw_spark.io.formats import read_evolved
+
+    path = str(tmp_path / "vat_call_file")
+    v1 = spark.range(5).select(
+        F.col("id").alias("block_number"),
+        F.lit("i1").alias("ilk"),
+        F.lit(1).alias("what"),
+    )
+    v1.write.mode("append").parquet(path)
+    v2 = spark.range(5, 8).select(
+        F.col("id").alias("block_number"),
+        F.lit("i2").alias("ilk"),
+        F.lit(2).alias("what"),
+        F.lit("0xabc").alias("data_raw"),  # the upgraded ABI's new param
+    )
+    v2.write.mode("append").parquet(path)
+    merged = read_evolved(spark, path)
+    assert set(merged.columns) == {"block_number", "ilk", "what", "data_raw"}
+    rows = {r.block_number: r.data_raw for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "0xabc"
+    # plain read of one generation still prunes to its own columns
+    old_only = merged.filter(F.col("data_raw").isNull())
+    assert old_only.count() == 5

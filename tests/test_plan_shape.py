@@ -259,3 +259,12 @@ def test_udaf_is_the_only_python_aggregate(spark):
     already cast to exact decimal."""
     p = plan_str(run(spark, "udaf_gini_order_values"), "simple")
     assert "ArrowAggregatePython" in p or "AggregateInPandas" in p, p
+
+
+def test_pit_join_keeps_equi_key(spark):
+    """The interval residual must not demote the PIT join below a
+    keyed join: user_id stays the equi key (hash/merge join), never a
+    nested-loop cross product."""
+    p = plan_str(run(spark, "pit_join_purchase_state"), "simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
