@@ -228,3 +228,83 @@ def url_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 COLLATE)
+# --------------------------------------------------------------------------
+@query(
+    "collation_ci_rollup",
+    oracle="""
+WITH cased AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src_cased
+  FROM documents
+)
+SELECT min(src_cased) AS src_label, COUNT(*) AS n_docs
+FROM cased
+GROUP BY lower(src_cased)
+ORDER BY src_label
+""",
+    tags=("modern", "collation"),
+)
+def collation_ci_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive rollup via a real collation (`UTF8_LCASE`), not
+    a lower() rewrite: the mixed-case source labels (synthesized — the
+    corpus is lowercase) group together under the collated comparison,
+    and the oracle proves equivalence to the lower()-normalized
+    grouping. Collation-aware grouping matters at scale because it
+    keeps the comparison inside codegen'd binary comparators instead
+    of materializing a normalized shadow column; the deterministic
+    label is min() over the group (the collated GROUP BY key's own
+    display value is first-seen, i.e. nondeterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    cased = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src_cased")
+    )
+    return (
+        cased.groupBy(F.expr("collate(src_cased, 'UTF8_LCASE')").alias("k"))
+        .agg(F.min("src_cased").alias("src_label"), F.count(F.lit(1)).alias("n_docs"))
+        .select("src_label", "n_docs")
+        .orderBy("src_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# File provenance via metadata columns
+# --------------------------------------------------------------------------
+@query(
+    "provenance_file_rowcounts",
+    oracle="""
+SELECT 'events.parquet' AS file_name,
+       COUNT(*) AS n_rows,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+""",
+    tags=("modern", "provenance", "metadata-columns"),
+)
+def provenance_file_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance from the hidden `_metadata` struct: per source
+    file, row count and event-id range. Training-data governance needs
+    exactly this lineage (which shard contributed which rows) and the
+    metadata column gives it without storing a path per row — it is
+    synthesized at scan time, costs nothing in the file, and survives
+    predicate pushdown. Testdata is one file per table, so the oracle
+    pins the single expected (file_name, counts) row."""
+    _t(spark, sf_dir, "events")  # side effect: session conf incl. NANOS handling
+    # load_table may have repartitioned away from the scan node; re-read
+    # with metadata directly so _metadata binds to the file scan
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        raw.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("file_name")
+    )
