@@ -201,3 +201,85 @@ def read_blocks_stream(
         .load()
     )
     return df.withColumn("time", F.timestamp_seconds("time"))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: transactional JSONL sink
+# ---------------------------------------------------------------------------
+class _StagedFile:
+    """Commit message: one staged file + its row count."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+def _jsonl_writer_classes():
+    """Writer classes built lazily (WriterCommitMessage import kept out
+    of module import path for symmetry with the reader's lazy RPC)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class StagedCommit(WriterCommitMessage, _StagedFile):
+        pass
+
+    class JsonlWriter(DataSourceWriter):
+        """Two-phase commit, the Spark-4 writer-protocol form of the
+        reference's per-range transaction (A19, classes.py:24-26):
+        every task writes to _staging/<uuid>; only the DRIVER's
+        commit() publishes staged files (atomic rename) and writes the
+        _MANIFEST with per-file row counts; abort() removes the
+        staging dir, so a failed/speculated task can never leave a
+        half-written file visible to readers."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            staged = os.path.join(staging, name)
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return StagedCommit(staged, n)
+
+        def commit(self, messages):
+            manifest = []
+            for m in messages:
+                final = os.path.join(self.path, os.path.basename(m.staged))
+                os.replace(m.staged, final)
+                manifest.append({"file": os.path.basename(final), "rows": m.rows})
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(sorted(manifest, key=lambda x: x["file"]), f)
+            staging = os.path.join(self.path, "_staging")
+            if os.path.isdir(staging) and not os.listdir(staging):
+                os.rmdir(staging)
+
+        def abort(self, messages):
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    return JsonlWriter
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _jsonl_writer_classes()(self.options)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

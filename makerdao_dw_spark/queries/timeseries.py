@@ -283,3 +283,123 @@ def class_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) time windows in BATCH mode (F.window multi-assign)
+# --------------------------------------------------------------------------
+@query(
+    "hopping_window_counts",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, MIN(ts)) AS t0, MAX(ts) AS t1 FROM events
+), starts AS (
+  SELECT UNNEST(generate_series(
+           (SELECT t0 FROM bounds) - INTERVAL 30 MINUTE,
+           (SELECT t1 FROM bounds),
+           INTERVAL 30 MINUTE)) AS w_start
+), hits AS (
+  SELECT s.w_start, e.event_type, e.value
+  FROM events e JOIN starts s
+    ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 60 MINUTE
+)
+SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_value
+FROM hits
+GROUP BY w_start, event_type
+ORDER BY w_start, event_type
+""",
+    tags=("timeseries", "hopping-window", "batch-window"),
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts over 60-minute windows hopping every 30
+    minutes, via the native `F.window` in BATCH mode — each event lands
+    in windowDuration/slideDuration = 2 windows (the multi-assignment
+    the oracle reproduces with an interval join against the generated
+    window-start grid).
+
+    Scale shape: window assignment is a narrow generate (each row emits
+    its 2 (window, row) pairs in place — no join, unlike the oracle's
+    formulation), then one hash aggregation on (window, type). The
+    shuffle carries window-struct + type keys only. Empty windows
+    don't exist by construction (count >= 1), matching the oracle's
+    inner join."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "60 minutes", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session_window in BATCH mode vs the manual gaps-and-islands
+# --------------------------------------------------------------------------
+@query(
+    "session_window_batch",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 4 * 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_value
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("timeseries", "session-window", "batch-window"),
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions (4h inactivity gap) via the NATIVE
+    `F.session_window` in batch mode, value-checked against the manual
+    gaps-and-islands formulation in DuckDB — proving the built-in's
+    merge semantics (a session extends while gaps are < the timeout;
+    DuckDB's twin splits at gap >= duration, the tie direction pinned
+    in NOTES) coincide with the classic two-window algorithm.
+
+    Scale shape: session_window is ONE hash exchange on user_id +
+    sort; Spark merges adjacent windows in the aggregation itself —
+    no LAG pre-pass, no second window stage like the manual build."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "4 hours").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

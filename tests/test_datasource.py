@@ -1,0 +1,35 @@
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Writer protocol: staged files are only published by the driver
+    commit (atomic renames + manifest); data round-trips; no staging
+    residue survives a successful write."""
+    import json
+    import os
+
+    from makerdao_dw_spark.ingest.datasource import register_jsonl_sink
+    from makerdao_dw_spark.session import load_table
+
+    from .conftest import SF_DIR
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    src = load_table(spark, SF_DIR, "nation")
+    src.write.format("jsonlsink").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = sorted(os.listdir(out))
+    assert "_staging" not in files, "staging dir must not survive commit"
+    assert {m["file"] for m in manifest} == {f for f in files if f.endswith(".jsonl")}
+    assert sum(m["rows"] for m in manifest) == src.count()
+
+    rows = []
+    for f in files:
+        if f.endswith(".jsonl"):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    got = {(r["n_nationkey"], r["n_name"]) for r in rows}
+    want = {(r.n_nationkey, r.n_name) for r in src.collect()}
+    assert got == want
