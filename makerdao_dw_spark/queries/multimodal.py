@@ -45,12 +45,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_stub",
-    oracle=None,  # stubbed codecs; plumbing pinned by unit tests
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS media_type
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       CAST(MAX(CASE WHEN media_type = 'image/png' THEN 64 + n % 576 ELSE 0 END) AS INT) AS max_width,
+       CAST(MAX(CASE WHEN media_type = 'image/png' THEN 1 ELSE n % 300 END) AS INT) AS max_frames
+FROM m GROUP BY media_type ORDER BY media_type
+""",
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode pipeline: attach payload -> Arrow-batched stub decode ->
-    per-media-type rollup of decoded dimensions."""
+    per-media-type rollup of decoded dimensions. The stub's dimension
+    math is SQL-expressible, so (like the frame sampler) this carries a
+    FULL DuckDB oracle: the driver value-checks the mapInPandas decode
+    stage, not just its row count."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     decoded = decode_media(attach_fake_payload(d))
     return (
