@@ -696,3 +696,57 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), F.col("o_orderkey"))
         .limit(200)
     )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+WITH u AS (
+  SELECT event_type, event_id,
+         (CAST(('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000) / 1000000.0 AS unif
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_sampled,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM u
+WHERE unif < CASE event_type WHEN 'click' THEN 0.2 WHEN 'view' THEN 0.2 ELSE 1.0 END
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sampling", "stratified", "deterministic"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable twin of `sample_stratified`: the same 20%-of-
+    clicks/views class rebalancing, but the per-row uniform is an
+    arithmetic md5 hash of the row key instead of Spark's sampler RNG —
+    so the EXACT sample membership is reproducible in any engine (full
+    DuckDB oracle) and stable under repartitioning, task retries, and
+    Spark version changes. That reproducibility is what a training-data
+    pipeline actually wants from a sampling step: the sample is a pure
+    function of the data, not of the execution. Same integer-modulus
+    uniform on both sides (1e6 buckets) so no float-division ulp can
+    flip a membership decision. Scale: one scan, no shuffle before the
+    tiny rollup; the filter is codegen'd string+hash math."""
+    e = _t(spark, sf_dir, "events")
+    unif = (
+        F.expr(
+            "cast(conv(substring(md5(concat('strat:', cast(event_id as string))), 1, 8), 16, 10) as bigint)"
+        )
+        % 1000000
+    ) / 1000000.0
+    frac = (
+        F.when(F.col("event_type").isin("click", "view"), 0.2).otherwise(1.0)
+    )
+    return (
+        e.filter(unif < frac)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
