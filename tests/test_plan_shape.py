@@ -268,3 +268,12 @@ def test_pit_join_keeps_equi_key(spark):
     p = plan_str(run(spark, "pit_join_purchase_state"), "simple")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_q7_nation_pair_prunes_both_dims(spark):
+    """Q7: the cross-alias pair disjunction can't push below the joins,
+    but each alias's IN(N1,N2) implication must prune BOTH nation
+    scans, and every dimension must broadcast."""
+    p = plan_str(run(spark, "q7_nation_trade_flows"))
+    assert p.count("In(n_name, [NATION_1,NATION_2])") >= 2, p
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1, p
