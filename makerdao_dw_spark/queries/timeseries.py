@@ -403,3 +403,154 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (prefix-min cumsum — pure windows)
+# --------------------------------------------------------------------------
+@query(
+    "cusum_changepoints",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS x
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id, d, x,
+         SUM(x - CAST(50 AS DECIMAL(38,6)))
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily
+), cusum AS (
+  SELECT user_id, d, x,
+         CAST(s - MIN(s) OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,6)) AS cusum
+  FROM series
+)
+SELECT user_id, d, x, cusum, cusum > 500 AS changepoint
+FROM cusum
+ORDER BY user_id, d
+""",
+    tags=("timeseries", "cusum", "changepoint"),
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over each user's daily totals: the classic
+    sequential statistic s_i = max(0, s_{i-1} + x_i - k) re-expressed
+    as a PURE window computation — s_i = S_i - min_{j<=i} S_j where
+    S is the running sum of (x - k). The recurrence looks inherently
+    sequential (the trap that pushes people to mapPartitions loops);
+    the prefix-min identity keeps it in two window passes over ONE
+    (user_id) exchange+sort, fully decimal-exact, deterministic.
+    Flags days where accumulated drift above k=50/day exceeds 500."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.lit(50).cast("decimal(38,6)")
+    series = daily.withColumn("s", F.sum(F.col("x") - k).over(w))
+    cusum = series.withColumn(
+        "cusum", (F.col("s") - F.min("s").over(w)).cast("decimal(38,6)")
+    )
+    return cusum.select(
+        "user_id", "d", "x", "cusum", (F.col("cusum") > 500).alias("changepoint")
+    ).orderBy("user_id", "d")
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomalies (exact decimal moments, RANGE day frame)
+# --------------------------------------------------------------------------
+@query(
+    "rolling_zscore_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT user_id, d, x,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS s1,
+         SUM(x * x) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+)
+, zcalc AS (
+  SELECT user_id, d, x, n,
+         CASE WHEN n >= 3
+               AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) > 0
+              THEN (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / SQRT((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1))
+         END AS z
+  FROM moments
+)
+SELECT user_id, d, x,
+       ROUND(z, 6) AS z,
+       COALESCE(ABS(z) > 2, FALSE) AS is_anomaly
+FROM zcalc
+ORDER BY user_id, d
+""",
+    tags=("timeseries", "anomaly", "rolling-window"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day z-score of each user's daily total, anomaly at
+    |z| > 2. The moments (n, Σx, Σx²) accumulate in EXACT decimal
+    inside a RANGE day frame — x is DECIMAL(18,6) so x·x is an exact
+    DECIMAL(37,12), no rounding anywhere until the final double
+    z-ratio (identical two-operand double ops in both engines).
+    Scale: one exchange on user_id; the frame is day-RANGE so sparse
+    series window correctly (missing days shrink n, they don't
+    shift a fixed ROWS frame)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("datediff(d, DATE '1970-01-01')"))
+        .rangeBetween(-6, 0)
+    )
+    m = daily.select(
+        "user_id",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    x_d = F.col("x").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    # identical operation sequence to the oracle: every intermediate is
+    # a two-operand double op on exact decimal inputs
+    disc = s2_d - s1_d * s1_d / n_d
+    z = F.when(
+        (F.col("n") >= 3) & (disc > 0),
+        (x_d - s1_d / n_d) / F.sqrt(disc / (n_d - F.lit(1.0))),
+    )
+    return m.select(
+        "user_id",
+        "d",
+        "x",
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("user_id", "d")

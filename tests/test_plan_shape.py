@@ -277,3 +277,16 @@ def test_q7_nation_pair_prunes_both_dims(spark):
     p = plan_str(run(spark, "q7_nation_trade_flows"))
     assert p.count("In(n_name, [NATION_1,NATION_2])") >= 2, p
     assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1, p
+
+
+@pytest.mark.parametrize("name", ["cusum_changepoints", "rolling_zscore_anomalies"])
+def test_timeseries_detectors_two_exchanges(spark, name):
+    """CUSUM and the rolling z-score: exactly TWO hash exchanges — the
+    daily pre-aggregation on the finer (user, day) key, then the
+    user-only re-partition for the window passes, which carries only
+    |user-days| pre-aggregated rows (the fact-sized shuffle happened
+    once). All window passes (both CUSUM windows; all three z-score
+    moments) must share that second exchange, and nothing is Python."""
+    p = plan_str(run(spark, name), "simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "EvalPython" not in p
