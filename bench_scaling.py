@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from makerdao_dw_spark.session import get_spark
 
 SIZES = [1_000_000, 4_000_000, 16_000_000]
+DOC_SIZES = [50_000, 200_000, 800_000]
 
 
 def synth(spark, n):
@@ -61,6 +62,31 @@ def main() -> None:
             "agg_mrows_s": round(n / t(agg) / 1e6, 1),
             "join_mrows_s": round(n / t(join) / 1e6, 1),
             "window_mrows_s": round(n / t(win) / 1e6, 1),
+        }
+    # training-data plane: per-doc CPU ops (synthetic ~40-word docs built
+    # from arithmetic so the probe isolates expression throughput)
+    from makerdao_dw_spark.operators.text_features import minhash_signature, shingles_expr
+
+    for n in DOC_SIZES:
+        docs = spark.range(0, n, 1).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.expr("transform(sequence(1, 40), i -> concat('w', (id * i) % 50))"), " "
+            ).alias("text"),
+        )
+        sig = lambda: docs.select(
+            shingles_expr("text").alias("sh")
+        ).select(minhash_signature("sh", 16).alias("s")).agg(
+            F.sum(F.expr("element_at(s, 1)"))  # forces the computation: count(1) would let Catalyst prune the signature entirely
+        ).collect()
+        rep = lambda: docs.select(
+            F.expr(
+                "size(filter(split(text, ' '), x -> x != '')) as nw"
+            )
+        ).agg(F.sum("nw")).collect()
+        out.setdefault("docs", {})[str(n)] = {
+            "minhash_krows_s": round(n / t(sig) / 1e3, 1),
+            "tokenize_krows_s": round(n / t(rep) / 1e3, 1),
         }
     print(json.dumps({"metric": "scaling_mrows_per_sec", "sizes": out}))
     spark.stop()
