@@ -554,3 +554,90 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
     ).orderBy("user_id", "d")
+
+
+# --------------------------------------------------------------------------
+# Linear trend per user (regression aggregates from exact moments)
+# --------------------------------------------------------------------------
+@query(
+    "regression_user_trend",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT user_id,
+         CAST(d - MIN(d) OVER (PARTITION BY user_id) AS BIGINT) AS x,
+         y
+  FROM daily
+), m AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sx2,
+         SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,6)) * y) AS sxy
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+WHERE n >= 3 AND n * sx2 - sx * sx <> 0
+ORDER BY user_id
+""",
+    tags=("timeseries", "regression", "exact-moments"),
+)
+def regression_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (slope/intercept of daily total vs days
+    since first activity) computed from EXACT integer/decimal moment
+    sums (n, Σx, Σx², Σy, Σxy) — the mergeable-moments formulation of
+    OLS, the same decomposition the built-in regr_slope uses except
+    the accumulation here is order-independent exact arithmetic, so
+    the result hash-matches any engine (built-in regr_* accumulates
+    doubles in partition order — nondeterministic low bits under
+    parallelism, which is why it's NOT used). Doubles appear only in
+    the final two-operand slope/intercept expressions.
+
+    Scale: one (user, day) aggregation, then a user-level aggregation
+    of 5 numbers — the window for x reuses nothing heavy; moments are
+    map-side combinable."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("y")
+    )
+    w_u = Window.partitionBy("user_id")
+    xy = daily.select(
+        "user_id",
+        F.datediff(F.col("d"), F.min("d").over(w_u)).cast("bigint").alias("x"),
+        "y",
+    )
+    m = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,6)") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sx2_d = F.col("sx2").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sx2_d - sx_d * sx_d)
+    intercept = (sy_d - slope * sx_d) / n_d
+    return (
+        m.filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+        .orderBy("user_id")
+    )

@@ -108,3 +108,52 @@ def udaf_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n_orders", "gini")
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "grouped_map_minmax_norm",
+    oracle="""
+WITH ranged AS (
+  SELECT user_id, event_id, value,
+         MIN(value) OVER (PARTITION BY user_id) AS lo,
+         MAX(value) OVER (PARTITION BY user_id) AS hi
+  FROM events
+)
+SELECT user_id, event_id,
+       ROUND(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) ELSE 0.5 END, 6) AS norm
+FROM ranged
+ORDER BY user_id, event_id
+""",
+    tags=("grouped-map", "pandas", "normalization"),
+)
+def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max normalization via `applyInPandas` (GROUPED_MAP
+    — the third and last pandas API family after mapInPandas and the
+    GROUPED_AGG UDAF): each user's events arrive as one pandas frame,
+    the transform emits a same-cardinality frame. The oracle is the
+    pure-window formulation, so the driver proves the Arrow group
+    round-trip computes exactly what the relational form does (the
+    arithmetic is one subtraction + one division per row — identical
+    double ops on identical inputs).
+
+    Scale: GROUPED_MAP shuffles like a groupBy and holds ONE GROUP in
+    memory at a time — fine for per-user event counts, wrong for
+    whale groups (then: window form above, which streams). That
+    trade-off is the reason both forms exist in this registry."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        if hi > lo:
+            n = (pdf["value"] - lo) / (hi - lo)
+        else:
+            n = pd.Series(0.5, index=pdf.index)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "norm": n.round(6)}
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(norm, "user_id bigint, event_id bigint, norm double")
+        .orderBy("user_id", "event_id")
+    )
