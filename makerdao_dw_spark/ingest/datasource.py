@@ -235,8 +235,9 @@ def _jsonl_writer_classes():
         staging dir, so a failed/speculated task can never leave a
         half-written file visible to readers."""
 
-        def __init__(self, options: dict):
+        def __init__(self, options: dict, overwrite: bool = False):
             self.path = options["path"]
+            self.overwrite = overwrite
 
         def write(self, iterator):
             staging = os.path.join(self.path, "_staging")
@@ -251,16 +252,31 @@ def _jsonl_writer_classes():
             return StagedCommit(staged, n)
 
         def commit(self, messages):
-            manifest = []
+            import shutil
+
+            manifest_path = os.path.join(self.path, "_MANIFEST.json")
+            if self.overwrite:
+                # overwrite semantics: previous committed files vanish
+                for f in os.listdir(self.path):
+                    if f.endswith(".jsonl"):
+                        os.remove(os.path.join(self.path, f))
+                manifest = []
+            elif os.path.exists(manifest_path):
+                # append semantics: the manifest stays the union of ALL
+                # committed writes, not just this one's
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+            else:
+                manifest = []
             for m in messages:
                 final = os.path.join(self.path, os.path.basename(m.staged))
                 os.replace(m.staged, final)
                 manifest.append({"file": os.path.basename(final), "rows": m.rows})
-            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            with open(manifest_path, "w") as f:
                 json.dump(sorted(manifest, key=lambda x: x["file"]), f)
-            staging = os.path.join(self.path, "_staging")
-            if os.path.isdir(staging) and not os.listdir(staging):
-                os.rmdir(staging)
+            # the commit point: anything still staged belongs to failed
+            # or speculative attempts and is by definition uncommitted
+            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
         def abort(self, messages):
             import shutil
@@ -278,7 +294,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlsink"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _jsonl_writer_classes()(self.options)
+        return _jsonl_writer_classes()(self.options, overwrite)
 
 
 def register_jsonl_sink(spark: SparkSession) -> None:

@@ -69,7 +69,13 @@ def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_price"),
         )
 
-    materialized = rollup(li.filter(F.col("l_shipdate") < cutoff))
+    # NULL ship dates route to the materialized branch so the split is
+    # EXHAUSTIVE — bare `< cutoff` / `>= cutoff` both reject NULL and
+    # would silently drop those rows from the merged rollup while the
+    # full-recompute oracle counts them
+    materialized = rollup(
+        li.filter(F.col("l_shipdate").isNull() | (F.col("l_shipdate") < cutoff))
+    )
     delta = rollup(li.filter(F.col("l_shipdate") >= cutoff))
     merged = (
         materialized.unionByName(delta)

@@ -423,8 +423,9 @@ WITH daily AS (
   FROM daily
 ), cusum AS (
   SELECT user_id, d, x,
-         CAST(s - MIN(s) OVER (PARTITION BY user_id ORDER BY d
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(s - LEAST(MIN(s) OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(0 AS DECIMAL(38,6)))
               AS DECIMAL(38,6)) AS cusum
   FROM series
 )
@@ -437,12 +438,15 @@ ORDER BY user_id, d
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM over each user's daily totals: the classic
     sequential statistic s_i = max(0, s_{i-1} + x_i - k) re-expressed
-    as a PURE window computation — s_i = S_i - min_{j<=i} S_j where
-    S is the running sum of (x - k). The recurrence looks inherently
-    sequential (the trap that pushes people to mapPartitions loops);
-    the prefix-min identity keeps it in two window passes over ONE
-    (user_id) exchange+sort, fully decimal-exact, deterministic.
-    Flags days where accumulated drift above k=50/day exceeds 500."""
+    as a PURE window computation — s_i = S_i - min_{0<=j<=i} S_j where
+    S is the running sum of (x - k) and the j=0 term is the EMPTY
+    prefix S_0 = 0 (hence least(min, 0): without it the first day
+    always reads 0 and every changepoint fires late). The recurrence
+    looks inherently sequential (the trap that pushes people to
+    mapPartitions loops); the prefix-min identity keeps it in two
+    window passes over ONE (user_id) exchange+sort, fully
+    decimal-exact, deterministic. Flags days where accumulated drift
+    above k=50/day exceeds 500."""
     e = _t(spark, sf_dir, "events")
     daily = (
         e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
@@ -459,8 +463,10 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.lit(50).cast("decimal(38,6)")
     series = daily.withColumn("s", F.sum(F.col("x") - k).over(w))
+    zero = F.lit(0).cast("decimal(38,6)")
     cusum = series.withColumn(
-        "cusum", (F.col("s") - F.min("s").over(w)).cast("decimal(38,6)")
+        "cusum",
+        (F.col("s") - F.least(F.min("s").over(w), zero)).cast("decimal(38,6)"),
     )
     return cusum.select(
         "user_id", "d", "x", "cusum", (F.col("cusum") > 500).alias("changepoint")

@@ -148,12 +148,16 @@ def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = (pdf["value"] - lo) / (hi - lo)
         else:
             n = pd.Series(0.5, index=pdf.index)
+        # NO rounding here: pandas .round is numpy scaled half-to-even,
+        # a different algorithm from the F.round/DuckDB ROUND pair the
+        # rest of the registry standardizes on — round Spark-side
         return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "norm": n.round(6)}
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "norm": n}
         )
 
     return (
         e.groupBy("user_id")
         .applyInPandas(norm, "user_id bigint, event_id bigint, norm double")
+        .select("user_id", "event_id", F.round("norm", 6).alias("norm"))
         .orderBy("user_id", "event_id")
     )

@@ -322,15 +322,24 @@ def stream_serving_aggregates(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        # existence check, NOT try/except: a transient read failure must
+        # fail the batch (foreachBatch retries it), never silently
+        # replace the whole serving table with this batch's keys
+        if os.path.isdir(out_path):
             target = batch_df.sparkSession.read.parquet(out_path)
             merged = merge_dataframes(target, batch_df, [key])
-        except Exception:  # first batch: no serving table yet
+        else:
             merged = batch_df
         staging = f"{out_path}.staging-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(out_path, ignore_errors=True)
+        # swap via rename-aside: at every instant either the old or the
+        # new table is at most one rename from out_path (a plain
+        # rmtree-then-rename leaves NO table for the whole delete)
+        old = f"{out_path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(out_path):
+            os.replace(out_path, old)
         os.replace(staging, out_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         totals.writeStream.outputMode("update")

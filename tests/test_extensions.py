@@ -145,3 +145,25 @@ def test_kmeans_matches_numpy_reference(spark):
 
     # determinism: a second fit is bit-identical
     assert kmeans_fit(e, "embedding", "vec_id", k=k, max_iter=iters) == centroids
+
+
+def test_cusum_counts_empty_prefix(spark, tmp_path):
+    """CUSUM identity must include the EMPTY prefix S_0 = 0: with daily
+    totals of 150 against drift k=50, the statistic is 100, 200, 300 —
+    a formulation that only mins over observed prefixes reports
+    0, 100, 200 (day one always zero, every changepoint late)."""
+    import datetime
+    import os
+
+    from makerdao_dw_spark.queries.timeseries import cusum_changepoints
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + d, 12, 0), 7, "view", 150.0, "{}")
+        for i, d in enumerate(range(3))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {str(r.d): float(r.cusum) for r in cusum_changepoints(spark, str(tmp_path)).collect()}
+    assert got == {"2024-01-01": 100.0, "2024-01-02": 200.0, "2024-01-03": 300.0}, got

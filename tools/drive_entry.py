@@ -85,8 +85,8 @@ def main() -> int:
             continue
         if name not in oracles:
             status = f"rows-only ({len(s_rows)} rows)"
-            if len(s_rows) < 0:
-                failures.append((name, "negative rows?"))
+            if len(s_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
             print(f"[{i+1}/{len(queries)}] {name}: {status} {time.time()-t0:.1f}s")
             continue
         try:
