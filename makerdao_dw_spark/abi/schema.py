@@ -91,8 +91,15 @@ class TableSpec:
     @property
     def schema(self) -> StructType:
         fields = list(COMMON_FIELDS)
-        for name, typ in zip(self.param_names, self.param_types):
-            fields.append(StructField(name, SPARK_TYPE_MAPPING[typ]))
+        for name, typ, ix in zip(self.param_names, self.param_types, self.indexed):
+            # an INDEXED dynamic param (string/bytes/array) is stored on
+            # chain as its keccak digest, and the decoder yields that raw
+            # bytes32 — so its column must be BinaryType, not the value
+            # type (which would crash the Arrow conversion)
+            if ix and (typ in ("bytes", "string") or typ.endswith("]")):
+                fields.append(StructField(name, BinaryType()))
+            else:
+                fields.append(StructField(name, SPARK_TYPE_MAPPING[typ]))
         return StructType(fields)
 
 

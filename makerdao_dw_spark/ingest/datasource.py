@@ -51,9 +51,13 @@ class EthBlocksReader(DataSourceReader):
         return [_BlockRange(f, t) for f, t in _windows(self.from_block, self.to_block, self.step)]
 
     def read(self, partition: _BlockRange) -> Iterator[tuple]:
-        from .fixtures import maker_chain
+        # block HEADERS are a pure function of (seed, n): a contract-less
+        # MockChain yields identical rows without loading/compiling the
+        # reference ABI fixtures per partition (maker_chain did — per-task
+        # I/O plus a hidden executor dependency on the fixture files)
+        from .rpc import MockChain
 
-        chain = maker_chain(head=self.to_block, seed=self.seed)
+        chain = MockChain(head=self.to_block, seed=self.seed)
         for n in range(partition.start, partition.end + 1):
             b = chain.get_block(n)
             yield (
@@ -134,9 +138,9 @@ class EthBlocksStreamReader(SimpleDataSourceStreamReader):
         return {"block": self.from_block}
 
     def _rows(self, lo: int, hi: int):
-        from .fixtures import maker_chain
+        from .rpc import MockChain  # headers only — see EthBlocksReader.read
 
-        chain = maker_chain(head=self.head, seed=self.seed)
+        chain = MockChain(head=self.head, seed=self.seed)
         for n in range(lo, hi):
             b = chain.get_block(n)
             yield (

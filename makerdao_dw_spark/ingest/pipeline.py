@@ -91,6 +91,8 @@ def backfill_blocks(
     """
     configure(spark)
     wins = _windows(from_block, to_block, step)
+    if not wins:  # empty range: repartition(0) would throw
+        return spark.createDataFrame([], BLOCK_SCHEMA)
     win_df = spark.createDataFrame(wins, "f long, t long").repartition(
         min(len(wins), spark.sparkContext.defaultParallelism)
     )
@@ -140,6 +142,8 @@ def fetch_raw_logs(
     """
     configure(spark)
     grid = [(f, t, a) for (f, t) in _windows(from_block, to_block, step) for a in addresses]
+    if not grid:  # empty range or no addresses: repartition(0) would throw
+        return spark.createDataFrame([], RAW_LOG_SCHEMA)
     grid_df = spark.createDataFrame(grid, "f long, t long, addr string").repartition(
         min(len(grid), spark.sparkContext.defaultParallelism)
     )
@@ -170,12 +174,16 @@ def fetch_raw_logs(
         tx = raw.dropDuplicates(["transaction_hash"])  # A16
 
         def receipts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            needle = proxy_filter_address.lower().removeprefix("0x")
+
+            def hit(h) -> bool:
+                # a reverted tx's receipt has NO logs — filter it out
+                # instead of IndexError-ing the whole backfill
+                logs = rpc.get_transaction_receipt(h)["logs"]
+                return bool(logs) and needle in logs[0]["data"]
+
             for pdf in it:
-                keep = [
-                    proxy_filter_address.lower().removeprefix("0x")
-                    in rpc.get_transaction_receipt(h)["logs"][0]["data"]
-                    for h in pdf["transaction_hash"]
-                ]
+                keep = [hit(h) for h in pdf["transaction_hash"]]
                 yield pdf[pd.Series(keep, index=pdf.index)]
 
         raw = tx.mapInPandas(receipts, RAW_LOG_SCHEMA)

@@ -15,11 +15,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def register_warehouse(spark: SparkSession, warehouse_dir: str | None = None) -> None:
-    """Point the session catalog at a warehouse dir (no-op if the session
-    is already started with one; spark.sql.warehouse.dir is static)."""
-    if warehouse_dir is not None and spark.conf.get("spark.sql.warehouse.dir", None) is None:
-        spark.conf.set("spark.sql.warehouse.dir", warehouse_dir)
+def register_warehouse(spark: SparkSession, warehouse_dir: str | None = None) -> str:
+    """Validate the session's warehouse dir against the requested one.
+
+    `spark.sql.warehouse.dir` is STATIC: it can only be set at session
+    build time, and a running session always reports a resolved value —
+    so this cannot (and must not pretend to) redirect an existing
+    session. It returns the effective dir, and raises if a caller asked
+    for a different location than the session actually uses (the silent
+    alternative is managed tables landing somewhere unexpected)."""
+    effective = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse_dir is not None and warehouse_dir.rstrip("/") not in (
+        effective.rstrip("/"),
+        effective.removeprefix("file:").rstrip("/"),
+    ):
+        raise ValueError(
+            f"session warehouse is {effective!r}, not {warehouse_dir!r}; "
+            "spark.sql.warehouse.dir is static — set it on the session builder"
+        )
+    return effective
 
 
 def ensure_database(spark: SparkSession, name: str) -> None:

@@ -57,20 +57,61 @@ def compact_table(
         _swap(path, path + "_compacted")
     else:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # one output file per partition directory unless it exceeds target
-        df.repartition(int(n_out), F.col(partition_col)).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(path + "_compacted")
+        # Per-partition-value split counts from on-disk bytes: hashing by
+        # partition_col ALONE routes each value to one task, so an
+        # oversized partition could never split below target size. The
+        # salt (row-hash mod splits) fans a big partition across exactly
+        # ceil(bytes/target) tasks while small partitions stay 1 file.
+        splits = {
+            os.path.basename(root).split("=", 1)[1]: max(
+                1, _dir_bytes(root) // target_file_bytes
+            )
+            for root, _d, _f in os.walk(path)
+            if "=" in os.path.basename(root)
+        }
+        split_expr = F.create_map(
+            *[x for k, v in splits.items() for x in (F.lit(k), F.lit(int(v)))]
+        )
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[c for c in df.columns if c != partition_col]),
+                F.coalesce(
+                    split_expr[F.col(partition_col).cast("string")], F.lit(1)
+                ),
+            ),
+        )
+        salted.repartition(
+            max(int(n_out), 1), F.col(partition_col), F.col("__salt")
+        ).drop("__salt").write.mode("overwrite").partitionBy(partition_col).parquet(
+            path + "_compacted"
+        )
         _swap(path, path + "_compacted")
     after = table_layout_stats(spark, path)
     return {"before": before, "after": after}
 
 
-def _swap(path: str, staged: str) -> None:
-    """Atomic-ish local swap (object stores: rename or pointer flip)."""
-    import shutil
+def _dir_bytes(root: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    )
 
-    backup = path + "_old"
+
+def _swap(path: str, staged: str) -> None:
+    """Rename-aside swap (object stores: pointer flip). The backup name
+    is unique so a crash can never wedge the NEXT compaction on a stale
+    `<path>_old` (os.rename onto a non-empty dir raises ENOTEMPTY); a
+    crash between the renames leaves the table one rename away at the
+    uniquely-named backup, and stale backups are swept on the next run."""
+    import glob
+    import shutil
+    import uuid
+
+    for stale in glob.glob(path + "_old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    backup = f"{path}_old-{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
     os.rename(staged, path)
     shutil.rmtree(backup)

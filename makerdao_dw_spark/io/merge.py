@@ -30,14 +30,19 @@ def merge_into_partitioned(
 ) -> None:
     """MERGE into a partitioned parquet table, rewriting only touched
     partitions (dynamic partition overwrite = the atomic commit unit)."""
+    import os
+
     spark = updates.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    try:
-        target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(touched))
-    except Exception:  # first write: target does not exist yet
+    # explicit existence check, NOT try/except: a transient read failure
+    # must fail the merge loudly — swallowing it would take the
+    # first-write branch and dynamic-overwrite every touched partition
+    # with ONLY the update rows, silently deleting pre-existing data
+    if not os.path.isdir(target_path):
         updates.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
         return
+    target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(touched))
     merged = merge_dataframes(target, updates, keys)
     # Persist via localCheckpoint before overwriting: the merged plan
     # reads the same files the overwrite is about to replace.

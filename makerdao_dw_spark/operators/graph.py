@@ -106,5 +106,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting max_iter without convergence means some component's
+    # labels are WRONG (one real component reported as several) — that
+    # must be an explicit failure, never a silent wrong answer. Diameter
+    # > max_iter only happens on chain-like graphs; LSH dup clusters are
+    # near-cliques, so the default 20 is generous there.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "raise max_iter (graph diameter exceeds it)"
+    )

@@ -66,13 +66,24 @@ def unique_key(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def foreign_key(child: DataFrame, col: str, parent: DataFrame, parent_col: str) -> DataFrame:
+def foreign_key(
+    child: DataFrame,
+    col: str,
+    parent: DataFrame,
+    parent_col: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
     """Non-null child keys with no parent row (left anti join; parent
-    side reduced to distinct keys and broadcast when small)."""
+    side reduced to distinct keys). `broadcast_parent=True` is right for
+    dimension-sized parents; pass False for fact-sized parents (e.g. a
+    transactions table) — a forced broadcast of billions of keys is a
+    driver OOM, the shuffle anti-join is the plan that survives."""
     keys = parent.select(F.col(parent_col).alias("__pk")).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
     orphans = (
         child.filter(F.col(col).isNotNull())
-        .join(F.broadcast(keys), F.col(col) == F.col("__pk"), "left_anti")
+        .join(keys, F.col(col) == F.col("__pk"), "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
     )
     total = child.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))

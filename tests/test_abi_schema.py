@@ -120,3 +120,32 @@ def test_unsupported_type_is_hard_error():
     ]
     with pytest.raises(Exception, match="unsupported ABI input type"):
         compile_contract("c", abi)
+
+
+def test_indexed_dynamic_params_are_binary_columns():
+    """An INDEXED dynamic event param (string/bytes/array) is stored on
+    chain as its keccak digest; the decoder yields raw bytes32, so the
+    compiled column must be BinaryType — the value-type mapping would
+    crash the Arrow conversion on decode."""
+    from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+    from makerdao_dw_spark.abi.schema import compile_contract
+
+    abi = [
+        {
+            "type": "event",
+            "name": "Labeled",
+            "anonymous": False,
+            "inputs": [
+                {"name": "tag", "type": "string", "indexed": True},
+                {"name": "owners", "type": "address[]", "indexed": True},
+                {"name": "note", "type": "string", "indexed": False},
+            ],
+        }
+    ]
+    (spec,) = compile_contract("demo", abi)
+    types = {f.name: f.dataType for f in spec.schema.fields}
+    assert isinstance(types["tag"], BinaryType)
+    assert isinstance(types["owners"], BinaryType)
+    # non-indexed dynamic params keep their value type
+    assert isinstance(types["note"], StringType) or isinstance(types["note"], ArrayType)
