@@ -18,14 +18,21 @@ from pyspark.sql import functions as F
 SECONDS_PER_YEAR = 3600 * 24 * 365
 
 _SQL_FUNCTIONS = {
+    # div/mod decomposition, NOT plain decimal division: Spark's
+    # precision-loss rule shrinks a 38-digit quotient's scale to 6 (wad)
+    # or 9 (ray), silently zeroing small values (wad(1) came out 0E-18,
+    # a 5%/yr duty ray collapsed to 1.000000002). Splitting into integer
+    # part + exact sub-divisions keeps every digit; the final CAST's
+    # HALF_UP rounds ray's 27-digit fraction to the declared 18.
+    # Domain: |x| < 10^30 for wad (10^12 whole tokens), full 38 digits
+    # for ray.
     "wad": (
         "CREATE OR REPLACE TEMPORARY FUNCTION wad(x DECIMAL(38,0)) "
-        "RETURNS DECIMAL(38,18) RETURN x / CAST(1000000000000000000 AS DECIMAL(19,0))"
+        "RETURNS DECIMAL(38,18) RETURN CAST(CAST(x DIV 1000000000000000000 AS DECIMAL(12,0)) + CAST(x % 1000000000000000000 AS DECIMAL(18,0)) / CAST(1000000000000000000 AS DECIMAL(19,0)) AS DECIMAL(38,18))"
     ),
     "ray": (
         "CREATE OR REPLACE TEMPORARY FUNCTION ray(x DECIMAL(38,0)) "
-        "RETURNS DECIMAL(38,18) "
-        "RETURN CAST(x AS DECIMAL(38,9)) / CAST(1000000000000000000000000000 AS DECIMAL(28,0))"
+        "RETURNS DECIMAL(38,18) RETURN CAST(CAST(x DIV 1000000000000000000000000000 AS DECIMAL(11,0)) + CAST((x % 1000000000000000000000000000) DIV 1000000000 AS DECIMAL(18,0)) / CAST(1000000000000000000 AS DECIMAL(19,0)) + CAST(x % 1000000000 AS DECIMAL(9,0)) / CAST(1000000000000000000000000000 AS DECIMAL(28,0)) AS DECIMAL(38,18))"
     ),
     "rad": (
         "CREATE OR REPLACE TEMPORARY FUNCTION rad(x DECIMAL(38,0)) "
@@ -51,13 +58,29 @@ def register_domain_functions(spark: SparkSession) -> None:
         spark.sql(ddl)
 
 
-# Column-API twins (same arithmetic, for DataFrame pipelines)
+# Column-API twins (same div/mod arithmetic, for DataFrame pipelines;
+# pinned equal to the SQL functions by test_functions.py)
+_D18 = "CAST(1000000000000000000 AS DECIMAL(19,0))"
+_D27 = "CAST(1000000000000000000000000000 AS DECIMAL(28,0))"
+_D9 = "CAST(1000000000 AS DECIMAL(10,0))"
+
+
 def wad(c: Column) -> Column:
-    return c.cast("decimal(38,0)") / F.lit(10**18).cast("decimal(19,0)")
+    x = c.cast("decimal(38,0)")
+    d18 = F.expr(_D18)
+    intp = ((x - x % d18) / d18).cast("decimal(12,0)")
+    frac = (x % d18).cast("decimal(18,0)") / d18
+    return (intp + frac).cast("decimal(38,18)")
 
 
 def ray(c: Column) -> Column:
-    return c.cast("decimal(38,9)") / F.lit(10**27).cast("decimal(28,0)")
+    x = c.cast("decimal(38,0)")
+    d27, d18, d9 = F.expr(_D27), F.expr(_D18), F.expr(_D9)
+    intp = ((x - x % d27) / d27).cast("decimal(11,0)")
+    frac27 = x % d27
+    hi = ((frac27 - frac27 % d9) / d9).cast("decimal(18,0)") / d18
+    lo = (frac27 % d9).cast("decimal(9,0)") / d27
+    return (intp + hi + lo).cast("decimal(38,18)")
 
 
 def rad(c: Column) -> Column:

@@ -80,7 +80,12 @@ def ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    stem = os.path.join(tempfile.gettempdir(), "makerdao_dw_spark_pyfiles")
+    # per-process archive dir: a fixed shared path races concurrent
+    # processes (one truncates the zip while another's addPyFile copy is
+    # in flight -> executors unzip a corrupt archive)
+    stem = os.path.join(
+        tempfile.mkdtemp(prefix="makerdao_dw_spark_pyfiles_"), "pkg"
+    )
     zip_path = shutil.make_archive(
         stem, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
     )

@@ -52,7 +52,12 @@ def _drain(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish in {timeout_s}s — "
+            "refusing to return a partially-filled sink table"
+        )
     q.stop()
     return sdf.sparkSession.table(name)
 
@@ -274,7 +279,9 @@ def stream_ingest_logs(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_ingest_logs drain exceeded 300s")
     q.stop()
 
 
@@ -304,6 +311,7 @@ def stream_serving_aggregates(
     table format (Delta/Iceberg) the same foreachBatch body becomes a
     real MERGE INTO statement.
     """
+    import glob
     import shutil
     import uuid
 
@@ -322,6 +330,16 @@ def stream_serving_aggregates(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery BEFORE the existence check: a death between the
+        # two swap renames leaves the table at a .old-* name (or only in
+        # .staging-*); concluding "no table yet" there would replace the
+        # whole serving state with this one batch's keys
+        if not os.path.isdir(out_path):
+            leftovers = sorted(glob.glob(f"{out_path}.old-*"), key=os.path.getmtime)
+            if leftovers:
+                os.replace(leftovers[-1], out_path)
+        for stale in glob.glob(f"{out_path}.staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         # existence check, NOT try/except: a transient read failure must
         # fail the batch (foreachBatch retries it), never silently
         # replace the whole serving table with this batch's keys
@@ -348,5 +366,7 @@ def stream_serving_aggregates(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_serving_aggregates drain exceeded 300s")
     q.stop()

@@ -59,3 +59,25 @@ def test_column_twins_match_sql(spark):
     assert ilk.select(ilk_name(F.col("b")).alias("n")).first()["n"] == "WBTC-A"
     apy = spark.createDataFrame([(Decimal(10**27),)], "d decimal(38,0)")
     assert abs(apy.select(ray_apy(F.col("d")).alias("a")).first()["a"]) < 1e-12
+
+
+def test_wad_ray_keep_full_precision(spark):
+    """The precision-loss regression pins: plain decimal division let
+    Spark shrink the quotient scale to 6/9, zeroing small wads and
+    collapsing duty rates. The div/mod forms must keep all 18 digits."""
+    from decimal import Decimal
+
+    from makerdao_dw_spark.functions import register_domain_functions
+
+    register_domain_functions(spark)
+    row = spark.sql(
+        """
+        SELECT wad(CAST(1 AS DECIMAL(38,0))) AS tiny,
+               wad(CAST(1500000000000 AS DECIMAL(38,0))) AS small,
+               ray(CAST(1000000001547125957863212448 AS DECIMAL(38,0))) AS duty
+        """
+    ).first()
+    assert row.tiny == Decimal("1E-18"), row.tiny
+    assert row.small == Decimal("0.0000015"), row.small
+    # the ~5%/yr MakerDAO duty rate, rounded HALF_UP at digit 18
+    assert row.duty == Decimal("1.000000001547125958"), row.duty
