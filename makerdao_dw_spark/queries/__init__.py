@@ -23,6 +23,7 @@ from . import (  # noqa: E402,F401
     text2,
     timeseries,
     tpch2,
+    tpch3,
     training,
     training2,
     udaf,

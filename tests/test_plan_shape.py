@@ -290,3 +290,45 @@ def test_timeseries_detectors_two_exchanges(spark, name):
     p = plan_str(run(spark, name), "simple")
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "EvalPython" not in p
+
+
+def test_q8_single_fact_shuffle_single_agg_pass(spark):
+    """Q8 snowflake: all 6 dimension arms (incl. nation twice) must
+    broadcast — the only SortMergeJoin allowed is lineitem x orders —
+    and numerator + denominator come from ONE aggregation (a single
+    partial/final HashAggregate pair over the spine, not two scans)."""
+    p = plan_str(run(spark, "q8_market_share"), "simple")
+    assert p.count("SortMergeJoin") <= 1, p
+    assert p.count("BroadcastHashJoin") >= 5, p
+
+
+def test_q9_dim_filter_stays_above_broadcast(spark):
+    """Q9: the p_name LIKE filter must prune the part dimension BEFORE
+    it broadcasts (pushed to the part scan), and supplier/nation must
+    broadcast — one fact-fact shuffle at most."""
+    p = plan_str(run(spark, "q9_product_profit"))
+    assert "StringContains(p_name,red)" in p, p
+    assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_embedding_metadata_vectors_never_shuffle(spark):
+    """The embeddings x documents rollup: metadata broadcasts and the
+    64-float vectors fold to scalars map-side — no hash exchange may
+    carry the embedding column."""
+    p = plan_str(run(spark, "embedding_metadata_join_stats"))
+    assert "BroadcastHashJoin" in p, p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
+
+
+def test_text_normalize_is_map_only_codegen(spark):
+    """The normalization battery is scan -> project -> sort: no hash
+    exchange, no Python, one whole-stage codegen span over the
+    string ops."""
+    df = run(spark, "text_normalize_battery")
+    df.collect()  # AQE finalizes the plan only on execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p, p
+    assert "EvalPython" not in p
+    assert "*(" in p, p.splitlines()[:5]
