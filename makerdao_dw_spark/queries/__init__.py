@@ -24,6 +24,7 @@ from . import (  # noqa: E402,F401
     timeseries,
     tpch2,
     tpch3,
+    tpch4,
     training,
     training2,
     udaf,

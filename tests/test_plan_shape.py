@@ -332,3 +332,53 @@ def test_text_normalize_is_map_only_codegen(spark):
     assert "Exchange hashpartitioning" not in p, p
     assert "EvalPython" not in p
     assert "*(" in p, p.splitlines()[:5]
+
+
+def test_q6_is_pure_scan_aggregate(spark):
+    """Q6: every predicate reaches the parquet scan and the scalar agg
+    needs no hash exchange at all — the I/O lower-bound probe."""
+    df = run(spark, "q6_forecast_revenue")
+    p = plan_str(df)
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in p, p
+    assert "LessThan(l_quantity,24" in p, p
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in ep, ep
+    assert "EvalPython" not in ep
+
+
+@pytest.mark.parametrize("name", ["q11_important_parts", "q15_top_supplier"])
+def test_scalar_subquery_reuses_aggregation_exchange(spark, name):
+    """Q11/Q15: the view is consumed twice (rows + its global MAX/SUM)
+    but the fact must be scanned and aggregated ONCE — AQE reuses the
+    per-key aggregation shuffle for the scalar side."""
+    df = run(spark, name)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep, ep
+
+
+def test_q17_two_pass_all_broadcast(spark):
+    """Q17: brand filter prunes part before broadcast; the per-part
+    aggregate broadcasts back — no shuffle join anywhere."""
+    p = plan_str(run(spark, "q17_small_quantity_revenue"))
+    assert "EqualTo(p_brand,Brand#4)" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_q21_agg_and_windows_reuse_join_partitioning(spark):
+    """Q21 at-scale regime (SMJ forced): the (order, supplier) max
+    aggregate AND both per-order windows must run on the join's
+    hash(orderkey) partitioning — the ONLY hash exchanges in the final
+    plan are the two join inputs plus the tiny s_name rollup. A plan
+    that re-shuffles for the agg or the windows shows 5."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = run(spark, "q21_waiting_suppliers")
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    final = ep.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert final.count("Exchange hashpartitioning") == 3, final
