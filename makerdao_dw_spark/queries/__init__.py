@@ -27,6 +27,7 @@ from . import (  # noqa: E402,F401
     tpch4,
     training,
     training2,
+    training3,
     udaf,
     warehouse,
 )

@@ -1,0 +1,277 @@
+"""Training-data pipeline, wave 3: the corpus-assembly operations that
+sit between raw documents and a training mix — deterministic split
+assignment, source-mixture rebalancing, vocabulary-based rarity
+scoring, grouped top-k via SQL LATERAL, and a composed curation gate.
+
+These extend the BASELINE.json north-star surface (dedup / similarity
+/ text analysis families in `training.py`/`training2.py`): everything
+here is the *assembly* layer a 100 TB pretraining pipeline runs after
+filtering — split hygiene, mixture weights, rarity-aware scoring.
+
+Determinism contract: every stochastic-looking choice (split bucket,
+per-source keep set) is a pure function of the data via the md5
+arithmetic-hash anchor (`conv(substr(md5(x),1,8),16,10)` == DuckDB
+`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`), so both engines pick the
+same rows; ratios are one double division + ROUND(…, 6) at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+# Cross-engine uniform in [0, 100): the repo-standard md5 arithmetic hash.
+_BUCKET_SPARK = "conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100"
+_BUCKET_DUCK = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+@query(
+    "split_train_val_test",
+    oracle=f"""
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+FROM (
+  SELECT source, n_chars, doc_id,
+         CASE WHEN {_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY source, split
+ORDER BY source, split
+""",
+    tags=("training", "split", "hash"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id
+    — the split-hygiene primitive of every training pipeline: a doc's
+    split never changes when the corpus is re-ingested, re-partitioned,
+    or incrementally extended (unlike randomSplit, which depends on
+    partitioning and seed plumbing).
+
+    Scale shape: the bucket is a map-side expression (no Python, no
+    shuffle); the only exchange is the (source, split) rollup — at
+    most |sources|·3 groups. Audited here by per-split doc counts,
+    char mass, and the first doc id per cell.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture rebalancing: deterministic per-source downsampling
+# --------------------------------------------------------------------------
+@query(
+    "mixture_resample_sources",
+    oracle="""
+SELECT source,
+       SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS kept_chars,
+       SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS n_dropped
+FROM (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+GROUP BY source
+ORDER BY source
+""",
+    tags=("training", "mixture", "sampling"),
+)
+def mixture_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 15 documents, chosen by smallest md5 — the
+    mixture-weighting primitive: over-represented sources are
+    downsampled to a target allocation by a content-stable draw, so
+    the kept set is reproducible across runs and engines (and an
+    incremental re-run keeps the same docs unless new ones hash lower).
+
+    Scale shape: ONE hash exchange on source; the per-source ranking
+    and the kept/dropped rollup share it (window then map-side-able
+    agg on the same key). The hash order makes the draw uniform
+    without any RNG state; doc_id breaks md5 ties exactly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    kept = F.col("rn") <= 15
+    return (
+        d.select("source", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .drop("doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary-based rarity scoring (corpus statistic joined back per doc)
+# --------------------------------------------------------------------------
+@query(
+    "rare_token_ratio",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+f AS (
+  SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN c < 500 THEN 1 ELSE 0 END) AS n_rare,
+       ROUND(CAST(SUM(CASE WHEN c < 500 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_ratio
+FROM t JOIN f USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("training", "text", "vocabulary"),
+)
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token fraction against corpus-level token
+    frequencies — the vocabulary-statistics-joined-back-to-documents
+    shape behind rarity-aware quality filters and inverse-frequency
+    weighting. All integer arithmetic until one final ROUND division,
+    so no float sum can reorder.
+
+    Scale shape: tokenize once (narrow explode); the vocabulary
+    aggregate is tiny next to the corpus and broadcasts back onto the
+    token stream, so the expensive side never shuffles for the join —
+    the exchanges are the vocab count and the per-doc rollup (which
+    map-side combines back to |docs| rows).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.when(F.col("c") < 500, 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.round(F.sum(rare).cast("double") / F.count(F.lit(1)), 6).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped top-k via SQL LATERAL (correlated subquery with LIMIT)
+# --------------------------------------------------------------------------
+@query(
+    "lateral_topk_customers",
+    oracle="""
+SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+ORDER BY n_name, c_acctbal DESC, c_custkey
+""",
+    tags=("lateral", "topk", "correlated-subquery"),
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation, written as a SQL
+    LATERAL correlated subquery with ORDER BY + LIMIT on BOTH engines
+    — the operator form (vs `topk_orders`' window formulation).
+
+    Spark decorrelates the lateral into WindowGroupLimit — a grouped
+    top-k that keeps only k rows per group BEFORE the rank window
+    materializes (map-side per-group limit, then one hash exchange on
+    the correlation key) — never the naive per-outer-row rescan a
+    nested-loop reading would imply. c_custkey breaks balance ties so
+    the kept pair is unique.
+    """
+    configure(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+        FROM _lat_nation, LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM _lat_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Composed curation gate: language -> length -> near-exact dedup -> rollup
+# --------------------------------------------------------------------------
+@query(
+    "curation_gate_pipeline",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+FROM (
+  SELECT source, n_chars, doc_id
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 450
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 20) ORDER BY doc_id) = 1
+)
+GROUP BY source
+ORDER BY source
+""",
+    tags=("training", "curation", "dedup", "pipeline"),
+)
+def curation_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation gate in one plan: language filter →
+    length band → prefix-key dedup (keep the lowest doc_id per 20-char
+    prefix — the cheap first stage before MinHash) → per-source
+    survivor rollup. Mirrors how production pipelines chain gates so
+    one scan feeds all of them, instead of materializing between
+    stages.
+
+    Scale shape: both filters push to the parquet scan (lang and
+    n_chars are scan-level predicates); the dedup is one hash exchange
+    on the 20-byte prefix; the per-source rollup re-aggregates only
+    survivors. Nothing Python, nothing fact-sized after the dedup key.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.substring("text", 1, 20)).orderBy("doc_id")
+    return (
+        d.filter((F.col("lang") == "en") & F.col("n_chars").between(100, 450))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -382,3 +382,37 @@ def test_q21_agg_and_windows_reuse_join_partitioning(spark):
     final = ep.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in final, final
     assert final.count("Exchange hashpartitioning") == 3, final
+
+
+def test_split_assignment_is_map_side_plus_one_rollup(spark):
+    """Split assignment: the bucket hash is a JVM expression (no
+    Python) and the only hash exchange is the (source, split) rollup."""
+    p = plan_str(run(spark, "split_train_val_test"), "simple")
+    assert "EvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The SQL LATERAL + LIMIT must become a grouped top-k
+    (WindowGroupLimit) — never a nested-loop rescan per outer row."""
+    p = plan_str(run(spark, "lateral_topk_customers"), "simple")
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_curation_gate_filters_reach_scan(spark):
+    """The curation gate's lang and length predicates must push to the
+    documents scan so the dedup exchange only carries survivors."""
+    p = plan_str(run(spark, "curation_gate_pipeline"))
+    assert "EqualTo(lang,en)" in p, p
+    assert "GreaterThanOrEqual(n_chars,100)" in p, p
+    assert "LessThanOrEqual(n_chars,450)" in p, p
+
+
+def test_rare_token_vocabulary_broadcasts_back(spark):
+    """Rarity scoring: the vocabulary aggregate must broadcast onto the
+    token stream (the fact-sized side never shuffles for the join) —
+    exchanges are the vocab count and the per-doc rollup only."""
+    p = plan_str(run(spark, "rare_token_ratio"), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
