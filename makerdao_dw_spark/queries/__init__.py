@@ -13,6 +13,7 @@ from . import (  # noqa: E402,F401
     graph,
     incremental,
     modern,
+    modern2,
     multimodal,
     olap,
     relational,

@@ -1,0 +1,171 @@
+"""Modern SQL surface, wave 2: native recursive CTEs (Spark 4's
+UnionLoop), error-safe `try_*` arithmetic (ANSI mode without the
+blast radius), and the GROUP BY ALL / lateral-column-alias sugar.
+
+The reference ships PostgreSQL-dialect SQL and leans on its external
+warehouse for all of this (`queries/makerdao/assets_per_type.sql` is
+plain CTE chaining, but PostgreSQL offers WITH RECURSIVE and NULL-safe
+division to the same analysts); a Spark replacement has to provide the
+same affordances natively — and since Spark 4 runs ANSI mode by
+default, the `try_*` family is what keeps 100 TB jobs from dying at
+hour three on one malformed row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
+
+from ..session import configure, load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Native recursive CTE: multi-seed reachability over a co-purchase DAG
+# --------------------------------------------------------------------------
+_REACH_SQL = """
+WITH RECURSIVE two AS (
+  SELECT l_orderkey FROM {lineitem} GROUP BY l_orderkey HAVING COUNT(*) = 2
+),
+edges AS (
+  SELECT MIN(l_partkey) AS src, MAX(l_partkey) AS dst
+  FROM {lineitem} JOIN two USING (l_orderkey)
+  GROUP BY l_orderkey
+  HAVING MIN(l_partkey) <> MAX(l_partkey)
+),
+reach(node, depth) AS (
+  SELECT DISTINCT src AS node, 0 AS depth FROM edges WHERE src < 100
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 6
+)
+SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_paths
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle=_REACH_SQL.format(lineitem="lineitem"),
+    tags=("recursive-cte", "graph", "iteration"),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability (min hop depth + path count) from all low-keyed
+    parts through a co-purchase DAG — written as a NATIVE `WITH
+    RECURSIVE` on both engines. Complements `bfs_part_cooccurrence`,
+    which drives the same iteration from Python (operators/graph.py):
+    here the engine owns the loop (Spark 4's UnionLoop operator), so
+    the plan itself is iterative — the form analysts migrating
+    PostgreSQL recursive queries will actually write.
+
+    Edges come from 2-line orders as (min part → max part), which
+    makes the graph a DAG (src < dst always), so UNION ALL recursion
+    terminates without distinct-dedup — Spark's recursion does not
+    support UNION distinct yet, and the depth guard bounds path
+    enumeration regardless. Scale note: each iteration is one
+    hash-join of the frontier against the (dimension-sized) edge
+    relation; the explicit `CAST(0 AS INT)`-free anchor works because
+    both src and the literal share types after the GROUP BY — the
+    anchor and step must type-merge exactly or UnionLoop refuses.
+    """
+    configure(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_rec_lineitem")
+    return spark.sql(_REACH_SQL.format(lineitem="_rec_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Error-safe arithmetic: the try_* family under default ANSI mode
+# --------------------------------------------------------------------------
+@query(
+    "try_arithmetic_battery",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE ROUND(o_totalprice / CAST(o_orderkey % 7 AS DOUBLE), 6) END AS safe_ratio,
+       TRY_CAST(o_orderstatus AS INT) AS status_as_int,
+       list_extract(string_split(o_orderpriority, '-'), 3) AS third_token,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_digit
+FROM orders
+WHERE o_orderkey % 100 < 5
+ORDER BY o_orderkey
+""",
+    tags=("try-functions", "ansi", "error-safe"),
+)
+def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `try_*` battery: division by a data-dependent zero, casts
+    that fail for every row, out-of-bounds array access, and a cast
+    that succeeds — each returning NULL instead of killing the job.
+
+    Spark 4 defaults to ANSI mode, where plain `/ 0` and bad casts
+    THROW; `try_divide`/`try_cast`/`try_element_at` are the sanctioned
+    row-level escape hatches (vs disabling ANSI globally, which hides
+    real corruption). The DuckDB oracle spells the same semantics with
+    TRY_CAST / CASE guards / list_extract's NULL-on-OOB. All map-side
+    expressions — the battery adds zero exchanges to the scan.
+    """
+    configure(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_try_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)), 6) AS safe_ratio,
+               try_cast(o_orderstatus AS INT) AS status_as_int,
+               try_element_at(split(o_orderpriority, '-'), 3) AS third_token,
+               try_cast(substr(o_orderpriority, 1, 1) AS INT) AS priority_digit
+        FROM _try_orders
+        WHERE o_orderkey % 100 < 5
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL + lateral column aliases (modern SQL sugar, same plan)
+# --------------------------------------------------------------------------
+@query(
+    "groupby_all_lateral_alias",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(gross AS DECIMAL(38,6))) AS sum_gross,
+       SUM(CAST(net AS DECIMAL(38,6))) AS sum_net,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         l_extendedprice * (1 - l_discount) AS net,
+         net * (1 + l_tax) AS gross
+  FROM lineitem
+)
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("sugar", "group-by-all", "lateral-alias"),
+)
+def groupby_all_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL over a projection whose `gross` column references
+    the sibling alias `net` defined in the SAME select list (lateral
+    column alias) — two pieces of modern SQL sugar that both engines
+    resolve to the ordinary Q1-style aggregate. The value check proves
+    the alias chain evaluates in order (net first, then gross) with
+    identical double math before the per-row decimal cast.
+    """
+    configure(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(gross AS DECIMAL(38,6))) AS sum_gross,
+               SUM(CAST(net AS DECIMAL(38,6))) AS sum_net,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 l_extendedprice * (1 - l_discount) AS net,
+                 net * (1 + l_tax) AS gross
+          FROM _gba_lineitem
+        )
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -416,3 +416,19 @@ def test_rare_token_vocabulary_broadcasts_back(spark):
     p = plan_str(run(spark, "rare_token_ratio"), "simple")
     assert "BroadcastHashJoin" in p, p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_recursive_cte_is_engine_owned_loop(spark):
+    """The recursive CTE must plan as Spark's native UnionLoop (engine-
+    owned iteration) — not a Python-driven loop or an unrolled union."""
+    p = plan_str(run(spark, "recursive_cte_reachability"), "simple")
+    assert "UnionLoop" in p, p
+    assert "EvalPython" not in p
+
+
+def test_try_battery_is_map_only(spark):
+    """try_divide/try_cast/try_element_at are scan-level expressions:
+    no hash exchange, no Python anywhere."""
+    p = plan_str(run(spark, "try_arithmetic_battery"), "simple")
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "EvalPython" not in p
