@@ -12,6 +12,7 @@ from . import (  # noqa: E402,F401
     flagship,
     graph,
     incremental,
+    indexing,
     modern,
     modern2,
     multimodal,

@@ -1,0 +1,136 @@
+"""Corpus indexing structures: inverted-index postings and the map
+(key→value) column toolkit.
+
+An inverted index (token → sorted posting list + document frequency)
+is the backbone of contamination screens, exact-phrase dedup, and
+retrieval over a training corpus — building one at 100 TB is a plain
+aggregation problem and an engine should express it without UDFs.
+Map columns are the natural carrier for per-document sparse term
+statistics; Spark's map_* higher-order functions are exercised here
+against a deliberately map-FREE DuckDB oracle (plain per-key
+aggregates), so the value check validates the semantics of the map
+pipeline itself, not a shared formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+
+# --------------------------------------------------------------------------
+# Inverted index: token -> document frequency + sorted posting sample
+# --------------------------------------------------------------------------
+@query(
+    "inverted_index_postings",
+    oracle="""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok,
+       COUNT(*) AS df,
+       list(doc_id ORDER BY doc_id)[1:10] AS sample_postings
+FROM t
+GROUP BY tok
+ORDER BY tok
+""",
+    tags=("indexing", "inverted-index", "arrays"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: per token, its document frequency and
+    the first 10 doc ids of the sorted posting list.
+
+    Scale shape: tokenize (narrow explode) → per-(doc, token) distinct
+    → one hash exchange on token; the posting list is assembled by
+    collect_list + sort_array AFTER the exchange, so the shuffle
+    carries (token, doc_id) pairs, never materialized lists. The
+    sorted-then-sliced sample keeps the output bounded no matter how
+    hot a token is (full postings would make one reducer own the
+    stop-word row — the slice is the skew guard). sort_array makes the
+    list deterministic where collect_list order is not.
+    """
+    pairs = _tokens(spark, sf_dir).distinct()
+    return (
+        pairs.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("sample_postings"),
+        )
+        .orderBy("tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-column toolkit vs a map-free oracle
+# --------------------------------------------------------------------------
+@query(
+    "map_functions_battery",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n_frequent,
+       MAX(c) AS max_count,
+       SUM(c) * 2 AS doubled_total
+FROM t
+WHERE doc_id % 5 = 0
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("map-functions", "higher-order", "text"),
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term-frequency MAP built with map_from_entries,
+    then interrogated with the map toolkit: cardinality, map_filter
+    (frequent terms), map_values + array_max, and transform_values
+    folded through aggregate() — each result also derivable WITHOUT
+    maps, which is exactly what the DuckDB oracle does (plain per-key
+    aggregates). A bug in any map op (dropped entry, wrong lambda
+    binding) diverges from the map-free formulation.
+
+    Scale shape: per-(doc, token) counts shuffle once; the map exists
+    only inside the second (doc-keyed) aggregation and never crosses
+    an exchange unaggregated. collect_list order instability is
+    irrelevant by construction: every output is order-insensitive
+    (size / filter-count / max / sum).
+    """
+    counts = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("tok", "c")))
+    return (
+        counts.groupBy("doc_id")
+        .agg(m.alias("m"))
+        .select(
+            "doc_id",
+            F.size("m").alias("n_distinct_tokens"),
+            F.size(F.map_filter("m", lambda k, v: v >= 3)).alias("n_frequent"),
+            F.array_max(F.map_values("m")).alias("max_count"),
+            F.aggregate(
+                F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("doubled_total"),
+        )
+        .orderBy("doc_id")
+    )

@@ -432,3 +432,21 @@ def test_try_battery_is_map_only(spark):
     p = plan_str(run(spark, "try_arithmetic_battery"), "simple")
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "EvalPython" not in p
+
+
+def test_inverted_index_shuffles_pairs_not_lists(spark):
+    """Inverted index: two key exchanges (pair-dedup, then token) and
+    the posting arrays only materialize AFTER the token exchange —
+    no Python anywhere."""
+    p = plan_str(run(spark, "inverted_index_postings"), "simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "EvalPython" not in p
+
+
+def test_map_battery_lambdas_stay_jvm_side(spark):
+    """map_filter/transform_values/aggregate lambdas must compile to
+    JVM higher-order functions — EvalPython in this plan means the
+    map toolkit silently fell back to Python."""
+    p = plan_str(run(spark, "map_functions_battery"), "simple")
+    assert "EvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 2, p
