@@ -14,7 +14,7 @@ pipeline itself, not a shared formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure, load_table
@@ -54,20 +54,26 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 10 doc ids of the sorted posting list.
 
     Scale shape: tokenize (narrow explode) → per-(doc, token) distinct
-    → one hash exchange on token; the posting list is assembled by
-    collect_list + sort_array AFTER the exchange, so the shuffle
-    carries (token, doc_id) pairs, never materialized lists. The
-    sorted-then-sliced sample keeps the output bounded no matter how
-    hot a token is (full postings would make one reducer own the
-    stop-word row — the slice is the skew guard). sort_array makes the
-    list deterministic where collect_list order is not.
+    → one token-keyed exchange shared by the rank window AND the
+    aggregate; the shuffle carries (token, doc_id) pairs, never
+    materialized lists. The skew guard is the row_number() <= 10
+    PRE-limit: collect_list only ever accumulates the 10 lowest doc
+    ids per token (a stop-word's reducer streams its sorted partition
+    and keeps 10 values of window state — slicing AFTER collect_list
+    would first materialize the full multi-GB posting array in one
+    aggregation buffer). df still counts every posting; sort_array
+    pins the sample order.
     """
     pairs = _tokens(spark, sf_dir).distinct()
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
     return (
-        pairs.groupBy("tok")
+        ranked.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("sample_postings"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+            ).alias("sample_postings"),
         )
         .orderBy("tok")
     )

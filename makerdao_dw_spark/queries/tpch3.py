@@ -236,11 +236,15 @@ _NORM_DUCK = (
     oracle=f"""
 SELECT source, label,
        COUNT(*) AS n_docs,
-       ROUND(SUM({_NORM_DUCK}) / COUNT(*), 6) AS avg_norm,
+       ROUND(CAST(SUM(nrm6) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
        SUM(n_chars) AS total_chars,
-       ROUND(SUM({_NORM_DUCK} * n_chars) / SUM(CAST(n_chars AS DOUBLE)), 6) AS wavg_norm
-FROM embeddings
-JOIN documents ON vec_id = doc_id
+       ROUND(CAST(SUM(nrm6 * n_chars) AS DOUBLE) / SUM(CAST(n_chars AS DOUBLE)), 6) AS wavg_norm
+FROM (
+  SELECT source, label, n_chars,
+         CAST(ROUND({_NORM_DUCK}, 6) AS DECIMAL(38,6)) AS nrm6
+  FROM embeddings
+  JOIN documents ON vec_id = doc_id
+)
 GROUP BY source, label
 ORDER BY source, label
 """,
@@ -252,23 +256,28 @@ def embedding_metadata_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: documents (metadata) broadcasts; the 64-float vectors
     never shuffle — the zip_with/aggregate left-fold reduces each to
-    ONE double map-side, so the exchange carries scalars. The weighted
-    mean divides two full-precision double sums once at the end
-    (deterministic: both engines fold the same left-to-right order).
+    ONE double map-side, so the exchange carries scalars. Determinism:
+    the per-row fold is a fixed left-to-right order on both engines,
+    and the folded norm is rounded to 6 decimals and cast to
+    DECIMAL(38,6) BEFORE the SUMs (the repo's exact-aggregation rule —
+    a raw double SUM would depend on partial-aggregate merge order);
+    the means derive from the exact sums with one double division +
+    ROUND at the end.
     """
     e = _t(spark, sf_dir, "embeddings")
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    norm = F.expr(_NORM_SPARK)
+    nrm6 = F.round(F.expr(_NORM_SPARK), 6).cast("decimal(38,6)")
     return (
         e.join(F.broadcast(d), F.col("vec_id") == F.col("doc_id"))
-        .select("source", "label", norm.alias("nrm"), "n_chars")
+        .select("source", "label", nrm6.alias("nrm6"), "n_chars")
         .groupBy("source", "label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+            F.round(F.sum("nrm6").cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
             F.sum("n_chars").alias("total_chars"),
             F.round(
-                F.sum(F.col("nrm") * F.col("n_chars")) / F.sum(F.col("n_chars").cast("double")),
+                F.sum(F.col("nrm6") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("n_chars").cast("double")),
                 6,
             ).alias("wavg_norm"),
         )

@@ -162,7 +162,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated FROM the per-part result (|parts| rows, and Spark
     reuses the per-part exchange rather than rescanning the fact),
     then crossed back as a one-row broadcast. The share test is
-    `rev * 1000 > total` — exact decimal multiplication, no division
+    `rev * 1500 > total` — exact decimal multiplication, no division
     anywhere, so the boundary part can't flip between engines.
     """
     li = _t(spark, sf_dir, "lineitem")

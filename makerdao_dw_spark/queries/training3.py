@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from ..session import configure, load_table
 from .registry import query
 
-# Cross-engine uniform in [0, 100): the repo-standard md5 arithmetic hash.
-_BUCKET_SPARK = "conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100"
+# Cross-engine uniform in [0, 100): the repo-standard md5 arithmetic hash
+# (explicit bigint cast — conv() returns STRING, and the other users of
+# this anchor, e.g. operators/text_features.py, all cast before the mod).
+_BUCKET_SPARK = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
 _BUCKET_DUCK = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
 
@@ -160,23 +162,32 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting. All integer arithmetic until one final ROUND division,
     so no float sum can reorder.
 
-    Scale shape: tokenize once (narrow explode); the vocabulary
-    aggregate is tiny next to the corpus and broadcasts back onto the
-    token stream, so the expensive side never shuffles for the join —
-    the exchanges are the vocab count and the per-doc rollup (which
-    map-side combines back to |docs| rows).
+    Scale shape: the corpus is tokenized and scanned ONCE — both the
+    vocabulary aggregate and the per-doc probe consume the same
+    per-(doc, token) count subtree, whose shuffle AQE reuses
+    (ReusedExchange, plan-asserted; the explicit isnotnull keeps the
+    two consumers' scan subtrees canonically identical — the join
+    would otherwise push an isnotnull(tok) into only the probe side).
+    The vocabulary rollup is tiny and broadcasts back; the per-doc
+    rollup re-keys |doc x token| pre-aggregated rows, never raw
+    tokens.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    rare = F.when(F.col("c") < 500, 1).otherwise(0)
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    freq = counts.groupBy("tok").agg(F.sum("n").alias("c"))
+    rare_n = F.when(F.col("c") < 500, F.col("n")).otherwise(0)
     return (
-        toks.join(F.broadcast(freq), "tok")
+        counts.join(F.broadcast(freq), "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(rare).alias("n_rare"),
-            F.round(F.sum(rare).cast("double") / F.count(F.lit(1)), 6).alias("rare_ratio"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(rare_n).alias("n_rare"),
+            F.round(F.sum(rare_n).cast("double") / F.sum("n"), 6).alias("rare_ratio"),
         )
         .orderBy("doc_id")
     )

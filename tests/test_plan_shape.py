@@ -317,9 +317,22 @@ def test_embedding_metadata_vectors_never_shuffle(spark):
     carry the embedding column."""
     p = plan_str(run(spark, "embedding_metadata_join_stats"))
     assert "BroadcastHashJoin" in p, p
-    for line in p.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "embedding" not in line, line
+    # Formatted mode prints each operator as a block: "(N) Exchange"
+    # followed by "Input [k]: [cols...]" and "Arguments: hashpartitioning(...)".
+    # The Input line is what the exchange actually carries.
+    exchange_blocks = [
+        b
+        for b in p.split("\n\n")
+        if b.lstrip().startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning" in b
+    ]
+    assert exchange_blocks, p
+    for b in exchange_blocks:
+        input_lines = [ln for ln in b.splitlines() if ln.startswith("Input")]
+        assert input_lines, b
+        for ln in input_lines:
+            assert "embedding" not in ln, b
 
 
 def test_text_normalize_is_map_only_codegen(spark):
@@ -372,13 +385,14 @@ def test_q21_agg_and_windows_reuse_join_partitioning(spark):
     hash(orderkey) partitioning — the ONLY hash exchanges in the final
     plan are the two join inputs plus the tiny s_name rollup. A plan
     that re-shuffles for the agg or the windows shows 5."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = run(spark, "q21_waiting_suppliers")
         df.collect()
         ep = df._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     final = ep.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in final, final
     assert final.count("Exchange hashpartitioning") == 3, final
@@ -409,13 +423,17 @@ def test_curation_gate_filters_reach_scan(spark):
     assert "LessThanOrEqual(n_chars,450)" in p, p
 
 
-def test_rare_token_vocabulary_broadcasts_back(spark):
-    """Rarity scoring: the vocabulary aggregate must broadcast onto the
-    token stream (the fact-sized side never shuffles for the join) —
-    exchanges are the vocab count and the per-doc rollup only."""
-    p = plan_str(run(spark, "rare_token_ratio"), "simple")
+def test_rare_token_corpus_scanned_once(spark):
+    """Rarity scoring: the vocabulary aggregate and the per-doc probe
+    both consume the same per-(doc, token) count shuffle — AQE must
+    reuse it (one tokenize pass over the corpus, not two) and the
+    vocabulary must broadcast back onto it."""
+    df = run(spark, "rare_token_ratio")
+    p = plan_str(df, "simple")
     assert "BroadcastHashJoin" in p, p
-    assert p.count("Exchange hashpartitioning") == 2, p
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep, ep
 
 
 def test_recursive_cte_is_engine_owned_loop(spark):
