@@ -101,3 +101,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in q.recentProgress
     )
     assert dropped == 1, [p["stateOperators"][0] for p in q.recentProgress]
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A date/key-partitioned fact joined to a filtered dimension must
+    prune fact partitions AT RUNTIME from the dim filter (dynamic
+    partition pruning) — the mechanism that turns a 100 TB full scan
+    into a 3-partition read when the dimension narrows the keys."""
+    fact = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 20).alias("part_key"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("part_key"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tag"),
+    )
+    j = (
+        spark.read.parquet(str(tmp_path / "fact"))
+        .join(dim.filter(F.col("tag") == "hot"), "part_key")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    row = j.collect()[0]
+    # keys 0,1,2 -> ids where id%20 in (0,1,2): 3000 rows of the 20k
+    assert row["n"] == 3_000, row
+    assert row["s"] == sum(2 * i for i in range(20_000) if i % 20 < 3), row
