@@ -30,10 +30,13 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver's parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects. We read them as epoch-nanos longs (legacy conf) and
-# convert to micros with integer division (matches DuckDB's ns->us
-# truncation; values are post-1970 so floor == truncate).
+# Timestamp-type robustness: driver testdata has shipped both
+# TIMESTAMP(NANOS) (Spark's vectorized reader rejects it -> read as
+# epoch-nanos longs via legacy conf and convert) and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads TIMESTAMP_NTZ).
+# load_table normalizes BOTH to plain TIMESTAMP (session TZ pinned UTC,
+# so NTZ wall-clock values are preserved bit-for-bit) so downstream
+# casts/watermarks/unix_micros never see an NTZ or long-typed column.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -103,6 +106,7 @@ def configure(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Streaming plans can't use AQE partition coalescing, so the static
     # shuffle-partition count must be sane: match the session's
     # parallelism instead of the 200 default (which costs ~170 empty
@@ -133,11 +137,21 @@ def load_table(
     Tiny dimensions stay single-partition (they broadcast anyway).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Micros-NTZ parquet must surface as plain TIMESTAMP at the SCAN (not
+    # via a post-read cast, which would block predicate pushdown on the
+    # column). With inference off, isAdjustedToUTC=false micros reads as
+    # TimestampType directly; session TZ is UTC so wall-clock values match
+    # what the DuckDB oracle reads.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # Belt-and-braces for any other reader path that still yields NTZ.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if spread is None:
         try:
             spread = os.path.getsize(path) > _AUTO_SPREAD_BYTES
