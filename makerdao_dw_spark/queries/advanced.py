@@ -109,7 +109,7 @@ WITH flagged AS (
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 ), numbered AS (
-    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+    SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -214,7 +214,7 @@ def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name AS nation,
        string_agg(c.c_name, ',' ORDER BY c.c_name) AS customers_csv,
-       list_sort(list(c.c_custkey)) AS custkeys
+       array_to_string(list_sort(list(c.c_custkey)), ',') AS custkeys
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY nation
@@ -229,7 +229,9 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customers_csv"),
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_custkey")).cast("array<string>"), ","
+            ).alias("custkeys"),
         )
         .orderBy("nation")
     )

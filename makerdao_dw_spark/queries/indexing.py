@@ -42,7 +42,7 @@ WITH t AS (
 )
 SELECT tok,
        COUNT(*) AS df,
-       list(doc_id ORDER BY doc_id)[1:10] AS sample_postings
+       array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS sample_postings
 FROM t
 GROUP BY tok
 ORDER BY tok
@@ -71,8 +71,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+                ).cast("array<string>"),
+                ",",
             ).alias("sample_postings"),
         )
         .orderBy("tok")
@@ -92,9 +95,9 @@ WITH t AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_distinct_tokens,
-       SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n_frequent,
+       CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
        MAX(c) AS max_count,
-       SUM(c) * 2 AS doubled_total
+       CAST(SUM(c) * 2 AS BIGINT) AS doubled_total
 FROM t
 WHERE doc_id % 5 = 0
 GROUP BY doc_id

@@ -240,15 +240,55 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Approximate aggregates: HLL distinct + quantile sketch.
-# No exact oracle possible; the EXACT companion columns let the unit test
-# (and any reader) bound the sketch error, and the driver rows-only check
-# still validates schema/row shape.
+# The sketch VALUES are engine-specific, so the registered surface emits
+# the exact companions plus error-bound booleans (abs(approx-exact) within
+# tolerance) — fully oracle-checkable: DuckDB computes the exact values
+# and literal TRUEs, so a sketch regression beyond tolerance flips a cell
+# and fails the hash. The raw sketch outputs stay unit-tested below.
 # --------------------------------------------------------------------------
 @query(
     "approx_aggregates",
-    oracle=None,
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS exact_p50,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_10pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     tags=("approx", "hll", "quantile-sketch"),
 )
+def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + quantile-sketch median, surfaced as
+    exact values + in-tolerance booleans so the DuckDB oracle can check
+    them (sketch internals are engine-specific; the CLAIM — bounded
+    error vs exact — is portable). At 100 TB the approx aggregates are
+    the one-pass mergeable answers; their exact companions here are the
+    correctness bound."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(cast(value as double), 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(cast(value as double), 0.5)").alias("exact_p50_raw"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.round("exact_p50_raw", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50_raw"))
+            <= 0.10 * F.abs(F.col("exact_p50_raw"))
+        ).alias("p50_within_10pct"),
+    ).orderBy("event_type")
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) and approx_percentile
     (quantile sketch) vs their exact values, per event_type. At 100 TB
@@ -486,7 +526,7 @@ WITH pc AS (
     FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       list_sort(list(event_type || ':' || CAST(c AS VARCHAR))) AS type_counts,
+       array_to_string(list_sort(list(event_type || ':' || CAST(c AS VARCHAR))), ',') AS type_counts,
        len(list(event_type)) AS n_types
 FROM pc
 GROUP BY user_id
@@ -506,11 +546,14 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.array_sort(
-            F.transform(
-                F.map_entries("tc"),
-                lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
-            )
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("tc"),
+                    lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
+                )
+            ),
+            ",",
         ).alias("type_counts"),
         F.size(F.map_keys("tc")).cast("long").alias("n_types"),
     ).orderBy("user_id")
@@ -556,16 +599,13 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@query(
-    "sample_stratified",
-    oracle=None,  # seeded sampling is engine-specific; bounds unit-tested
-    tags=("sampling", "stratified"),
-)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample: 20% of clicks/views, 100% of purchases
     (the usual class-rebalancing step for training data). Deterministic
-    for a fixed seed+partitioning, but engine-specific — rows-only check
-    here; per-stratum fraction bounds asserted in test_extensions."""
+    for a fixed seed+partitioning, but engine-specific — so NOT in the
+    driver registry (the fully-oracled hash-based twin
+    `sample_stratified_exact` is); per-stratum fraction bounds asserted
+    in test_extensions."""
     e = _t(spark, sf_dir, "events")
     fr = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
     return (

@@ -45,9 +45,106 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Output-surface normalization (driver-canonicalizer contract).
+#
+# The external driver hash-compares stringified cells, so DECIMAL outputs
+# are fragile: Spark's DECIMAL(38,6) renders "4956.660000" while DuckDB's
+# DECIMAL(38,2) renders "4956.66" — equal values, failed hash. The fix is
+# a *result-surface* rule, not a query rewrite: aggregate in exact DECIMAL
+# (deterministic under any partitioning/order), then cast the FINAL output
+# column to DOUBLE on BOTH sides. Casting the same exact decimal value to
+# IEEE double is deterministic on both engines, and the driver formats
+# floats with %.12g, so both sides hash identically.
+#
+# DOUBLE_CAST maps query name -> output columns to cast. It is applied at
+# the queries_dict()/oracles_dict() boundary: the Spark DataFrame gets
+# .withColumn(c, c.cast("double")) and the DuckDB oracle is wrapped in
+# SELECT * REPLACE (CAST(c AS DOUBLE) AS c). tests/test_output_surface.py
+# walks the registry and fails if any query leaks a DecimalType (or
+# array/map/NTZ) column, so new queries can't reintroduce the class.
+# ---------------------------------------------------------------------------
+DOUBLE_CAST: dict[str, tuple[str, ...]] = {
+    "above_avg_orders": ("total",),
+    "bucketed_event_counts": ("total_value",),
+    "case_categorize_parts": ("total_price",),
+    "cube_order_stats": ("total",),
+    "cusum_changepoints": ("x", "cusum"),
+    "filter_project": ("net_price",),
+    "flagship_events_funnel": ("total_balance",),
+    "global_window_share": ("total",),
+    "groupby_all_lateral_alias": ("sum_gross", "sum_net"),
+    "hopping_window_counts": ("total_value",),
+    "ivm_incremental_rollup": ("sum_qty", "sum_price"),
+    "join_broadcast_dims": ("total_balance",),
+    "locf_last_purchase": ("last_purchase_value",),
+    "math_rescale_pow": ("rounded",),
+    "multiway_join_revenue": ("revenue",),
+    "outer_join_order_counts": ("total_spend",),
+    "q10_returned_items": ("revenue",),
+    "q11_important_parts": ("part_revenue",),
+    "q14_promo_revenue_share": ("promo_revenue", "total_revenue"),
+    "q15_top_supplier": ("total_revenue",),
+    "q17_small_quantity_revenue": ("small_qty_revenue",),
+    "q18_large_orders": ("sum_qty",),
+    "q19_disjunctive_predicates": ("revenue",),
+    "q1_pricing_summary": ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"),
+    "q20_concentrated_shippers": ("qty_1997", "qty_total"),
+    "q22_dormant_rich_customers": ("total_bal",),
+    "q3_shipping_priority": ("revenue",),
+    "q5_local_supplier_volume": ("revenue",),
+    "q6_forecast_revenue": ("revenue",),
+    "q7_nation_trade_flows": ("revenue",),
+    "q8_market_share": ("nation_revenue", "total_revenue"),
+    "q9_product_profit": ("sum_profit",),
+    "rolling_zscore_anomalies": ("x",),
+    "rollup_returnflag": ("sum_qty",),
+    "salted_skew_aggregate": ("total",),
+    "session_window_batch": ("total_value",),
+    "streaming_static_join": ("total_value",),
+    "streaming_windowed_counts": ("total_value",),
+    "table_diff_snapshot": ("sum_price_v1", "sum_price_v2"),
+    "topk_orders": ("total",),
+    "union_typed_nulls": ("balance", "order_total"),
+    "window_cumulative": ("running_value",),
+    "window_rank_lag": ("total",),
+    "winsorize_values": ("winsorized_sum",),
+}
+
+
+def _wrap_double_cast(fn: QueryFn, cols: tuple[str, ...]) -> QueryFn:
+    from pyspark.sql import functions as F
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        for c in cols:
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast("double"))
+        return df
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def _wrap_oracle_double_cast(sql: str, cols: tuple[str, ...]) -> str:
+    repl = ", ".join(f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __double_cast_t"
+
+
 def queries_dict() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    out: dict[str, QueryFn] = {}
+    for name, q in REGISTRY.items():
+        cols = DOUBLE_CAST.get(name)
+        out[name] = _wrap_double_cast(q.fn, cols) if cols else q.fn
+    return out
 
 
 def oracles_dict() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    out: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        cols = DOUBLE_CAST.get(name)
+        out[name] = _wrap_oracle_double_cast(q.oracle, cols) if cols else q.oracle
+    return out

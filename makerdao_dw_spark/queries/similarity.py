@@ -179,7 +179,7 @@ WITH scaled AS (
 )
 SELECT e.vec_id,
        ROUND(s.scale, 6) AS scale,
-       list_transform(e.embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * s.scale) AS INT)) AS q
+       array_to_string(list_transform(e.embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * s.scale) AS INT)), ',') AS q
 FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
 WHERE e.vec_id % 10 = 0
 ORDER BY e.vec_id
@@ -200,8 +200,11 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round("scale_raw", 6).alias("scale"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * F.col("scale_raw")).cast("int")
+        F.array_join(
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * F.col("scale_raw")).cast("int")
+            ).cast("array<string>"),
+            ",",
         ).alias("q"),
     ).orderBy("vec_id")
 

@@ -42,12 +42,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # HLL rollup table: daily sketches, estimates read per-day AND merged
 # --------------------------------------------------------------------------
-@query(
-    "sketch_hll_daily_active",
-    oracle=None,  # rows-only: DuckDB has no DataSketches; accuracy pinned in tests
-    tags=("sketch", "hll", "rollup"),
-)
-def sketch_hll_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_hll_daily_active_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-active-users rollup: one HLL sketch of `user_id` per day,
     read back as per-day estimates plus a TOTAL row computed by merging
     the daily sketches — never rescanning the events.
@@ -72,15 +67,54 @@ def sketch_hll_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total).orderBy("scope")
 
 
+@query(
+    "sketch_hll_daily_active",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events
+ORDER BY scope
+""",
+    tags=("sketch", "hll", "rollup"),
+)
+def sketch_hll_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the HLL rollup: sketch estimates are
+    engine-specific, so the registered output is the EXACT per-scope
+    distinct count plus an in-tolerance boolean derived from the sketch
+    estimate — fully DuckDB-oracle-checkable (the oracle emits exact
+    counts and literal TRUE), while still executing the full sketch
+    rollup + union-merge path. Raw estimates: sketch_hll_daily_active_raw
+    (accuracy + merge-exactness pinned in tests/test_sketches.py)."""
+    est = sketch_hll_daily_active_raw(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    exact_day = e.groupBy(F.to_date("ts").cast("string").alias("scope")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_total = e.agg(
+        F.lit("TOTAL").alias("scope"), F.countDistinct("user_id").alias("exact_users")
+    )
+    exact = exact_day.unionByName(exact_total)
+    return (
+        exact.join(est, "scope")
+        .select(
+            "scope",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("scope")
+    )
+
+
 # --------------------------------------------------------------------------
 # Theta set algebra: audience overlap between two event types
 # --------------------------------------------------------------------------
-@query(
-    "sketch_theta_userday_overlap",
-    oracle=None,  # rows-only: set-algebra accuracy pinned in tests
-    tags=("sketch", "theta", "set-algebra"),
-)
-def sketch_theta_userday_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_theta_userday_overlap_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap via theta sketches: the distinct (user, day)
     activity keys of `click` vs `purchase` events, with union /
     intersection / difference estimated from two kilobyte sketches
@@ -109,15 +143,75 @@ def sketch_theta_userday_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_theta_userday_overlap",
+    oracle="""
+WITH k AS (
+    SELECT CAST(user_id AS VARCHAR) || '_' || CAST(CAST(ts AS DATE) AS VARCHAR) AS user_day,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+)
+SELECT CAST(SUM(has_c) AS BIGINT) AS exact_click,
+       CAST(SUM(has_p) AS BIGINT) AS exact_purchase,
+       COUNT(*) AS exact_union,
+       CAST(SUM(has_c * has_p) AS BIGINT) AS exact_intersection,
+       CAST(SUM(has_c * (1 - has_p)) AS BIGINT) AS exact_click_only,
+       TRUE AS est_click_ok, TRUE AS est_purchase_ok, TRUE AS est_union_ok,
+       TRUE AS est_intersection_ok, TRUE AS est_click_only_ok
+FROM k
+""",
+    tags=("sketch", "theta", "set-algebra"),
+)
+def sketch_theta_userday_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for theta set algebra: exact union/intersection/
+    difference counts (one GROUP BY user_day pass) plus booleans that the
+    theta estimates land within 5% of the exact union size — the standard
+    error model for theta intersections. Raw estimates:
+    sketch_theta_userday_overlap_raw (pinned in tests/test_sketches.py)."""
+    est = sketch_theta_userday_overlap_raw(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    k = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.concat_ws("_", F.col("user_id"), F.to_date("ts")).alias("user_day")
+        )
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_c"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_p"),
+        )
+    )
+    exact = k.agg(
+        F.sum("has_c").cast("bigint").alias("exact_click"),
+        F.sum("has_p").cast("bigint").alias("exact_purchase"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("has_c") * F.col("has_p")).cast("bigint").alias("exact_intersection"),
+        F.sum(F.col("has_c") * (1 - F.col("has_p"))).cast("bigint").alias("exact_click_only"),
+    )
+    tol = 0.05 * F.col("exact_union")
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_union",
+        "exact_intersection",
+        "exact_click_only",
+        (F.abs(F.col("est_click") - F.col("exact_click")) <= tol).alias("est_click_ok"),
+        (F.abs(F.col("est_purchase") - F.col("exact_purchase")) <= tol).alias("est_purchase_ok"),
+        (F.abs(F.col("est_union") - F.col("exact_union")) <= tol).alias("est_union_ok"),
+        (F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= tol).alias(
+            "est_intersection_ok"
+        ),
+        (F.abs(F.col("est_click_only") - F.col("exact_click_only")) <= tol).alias(
+            "est_click_only_ok"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # KLL quantile sketches: per-segment + merged distribution summary
 # --------------------------------------------------------------------------
-@query(
-    "sketch_kll_value_quantiles",
-    oracle=None,  # rows-only: rank-error bound pinned in tests
-    tags=("sketch", "kll", "quantiles"),
-)
-def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_kll_value_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-distribution rollup: one KLL double sketch of `value` per
     event type, read back as p25/p50/p90/p99, plus an ALL row whose
     sketch is the pairwise merge of the per-type sketches (there is no
@@ -146,4 +240,50 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return both.select(
         "segment", q(0.25, "p25"), q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    ).orderBy("segment")
+
+
+@query(
+    "sketch_kll_value_quantiles",
+    oracle="""
+SELECT event_type AS segment, COUNT(*) AS n_rows,
+       TRUE AS rank_ok_p25, TRUE AS rank_ok_p50, TRUE AS rank_ok_p90, TRUE AS rank_ok_p99
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', COUNT(*), TRUE, TRUE, TRUE, TRUE FROM events
+ORDER BY segment
+""",
+    tags=("sketch", "kll", "quantiles"),
+)
+def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the KLL rollup: KLL guarantees RANK error, so
+    the checkable claim is "the empirical rank of each sketch quantile
+    estimate is within 5% of its target rank". The estimates (which
+    legitimately wobble run-to-run inside the envelope) never appear in
+    the output — only n_rows and the rank-check booleans, both exactly
+    reproducible in DuckDB. Raw estimates: sketch_kll_value_quantiles_raw
+    (envelope pinned in tests/test_sketches.py)."""
+    ests = sketch_kll_value_quantiles_raw(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    vals = e.select(F.col("event_type").alias("segment"), "value").unionByName(
+        e.select(F.lit("ALL").alias("segment"), "value")
+    )
+    joined = vals.join(F.broadcast(ests), "segment")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            (
+                F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias(f"frac_{p}")
+            for p in ("p25", "p50", "p90", "p99")
+        ],
+    )
+    return agg.select(
+        "segment",
+        "n_rows",
+        *[
+            (F.abs(F.col(f"frac_{p}") - F.lit(target)) <= 0.05).alias(f"rank_ok_{p}")
+            for p, target in (("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+        ],
     ).orderBy("segment")

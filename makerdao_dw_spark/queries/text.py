@@ -156,9 +156,9 @@ WITH grams AS (
     FROM documents
 )
 SELECT doc_id,
-       list_sort(list_distinct(list_transform(
+       array_to_string(list_sort(list_distinct(list_transform(
            generate_series(1, greatest(len(hs) - 3, 1)),
-           i -> list_min(hs[i:i+3])))) AS fingerprints
+           i -> list_min(hs[i:i+3])))), ',') AS fingerprints
 FROM grams
 ORDER BY doc_id
 """,
@@ -173,7 +173,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice(); without binding, the md5 pass would re-run O(n) times.
     fp_expr = let_bound(
         "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(md5(substring(text, i, 8)), 1, 16))",
-        "array_sort(array_distinct(transform(sequence(1, greatest(size({x}) - 3, 1)), i -> array_min(slice({x}, i, 4)))))",
+        "array_join(array_sort(array_distinct(transform(sequence(1, greatest(size({x}) - 3, 1)), i -> array_min(slice({x}, i, 4))))), ',')",
     )
     return d.select("doc_id", F.expr(fp_expr).alias("fingerprints")).orderBy("doc_id")
 
@@ -182,7 +182,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_source_rollup",
     oracle="""
 SELECT lang, source, GROUPING(lang) AS g_lang, GROUPING(source) AS g_source,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents
 GROUP BY ROLLUP(lang, source)

@@ -237,7 +237,7 @@ _NORM_DUCK = (
 SELECT source, label,
        COUNT(*) AS n_docs,
        ROUND(CAST(SUM(nrm6) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(CAST(SUM(nrm6 * n_chars) AS DOUBLE) / SUM(CAST(n_chars AS DOUBLE)), 6) AS wavg_norm
 FROM (
   SELECT source, label, n_chars,

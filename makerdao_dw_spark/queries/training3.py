@@ -41,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "split_train_val_test",
     oracle=f"""
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
 FROM (
   SELECT source, n_chars, doc_id,
          CASE WHEN {_BUCKET_DUCK} < 80 THEN 'train'
@@ -90,9 +90,9 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_resample_sources",
     oracle="""
 SELECT source,
-       SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS kept_chars,
-       SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM (
   SELECT source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
@@ -147,7 +147,7 @@ f AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN c < 500 THEN 1 ELSE 0 END) AS n_rare,
+       CAST(SUM(CASE WHEN c < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
        ROUND(CAST(SUM(CASE WHEN c < 500 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_ratio
 FROM t JOIN f USING (tok)
 GROUP BY doc_id
@@ -247,7 +247,7 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curation_gate_pipeline",
     oracle="""
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
 FROM (
   SELECT source, n_chars, doc_id
   FROM documents

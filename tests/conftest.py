@@ -43,8 +43,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # STRICT on purpose: the external driver's canonicalizer stringifies
+    # cells as-is (Decimal keeps its scale -> "4956.660000" != "4956.66";
+    # long 64 != double 64.0) and hard-crashes on list/map cells. The
+    # local gate must be at least as strict or driver-only failures slip
+    # through (the round-2 lesson).
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -53,8 +58,12 @@ def _norm_cell(v):
         return ("f", f"{v:.12g}")
     if isinstance(v, bytes):
         return ("b", v.hex())
-    if isinstance(v, list):
-        return ("l", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, (list, dict, tuple, set)):
+        raise TypeError(
+            f"complex cell type {type(v).__name__} in query output — the "
+            "driver canonicalizer crashes on these; serialize with "
+            "array_join/to_json in the final SELECT"
+        )
     return (type(v).__name__, v)
 
 

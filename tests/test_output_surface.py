@@ -1,0 +1,62 @@
+"""Output-surface contract: the external driver hash-compares stringified
+cells, so every registered query's FINAL schema must contain only
+canon-stable scalar types on BOTH sides.
+
+Forbidden on the Spark side: DecimalType (trailing-zero rendering differs
+between engines), Array/Map/Struct (the driver's pandas canonicalizer
+crashes on them), TimestampNTZType (drifts vs the oracle's naive
+timestamps). Forbidden on the DuckDB side: DECIMAL, HUGEINT (renders as
+float through pandas -> "64.0" vs Spark's "64"), and any nested type.
+
+This test is the guard the round-2 failures earned: all 8 driver-only
+hash failures were exactly these types leaking into final SELECTs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from makerdao_dw_spark.queries import oracles_dict, queries_dict
+
+from .conftest import SF_DIR, duck_con
+
+_FORBIDDEN_SPARK = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.TimestampNTZType)
+_FORBIDDEN_DUCK = ("DECIMAL", "HUGEINT", "[]", "MAP(", "STRUCT(")
+
+QUERIES = queries_dict()
+ORACLES = oracles_dict()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_spark_output_schema_is_canon_stable(spark, name):
+    df = QUERIES[name](spark, SF_DIR)  # lazy: schema only, no execution
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, _FORBIDDEN_SPARK)
+    ]
+    assert not bad, (
+        f"{name}: driver-fragile output columns {bad} — cast decimals to "
+        "double (registry.DOUBLE_CAST), serialize arrays/maps with "
+        "array_join/to_json, cast NTZ to timestamp"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_result_types_are_canon_stable(name):
+    con = duck_con(SF_DIR)
+    rel = con.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(k in str(t).upper() for k in _FORBIDDEN_DUCK)
+    ]
+    con.close()
+    assert not bad, (
+        f"{name}: driver-fragile oracle columns {bad} — CAST(... AS "
+        "DOUBLE/BIGINT) or array_to_string in the oracle SQL"
+    )

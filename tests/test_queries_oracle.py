@@ -6,19 +6,23 @@ from __future__ import annotations
 
 import pytest
 
-from makerdao_dw_spark.queries import REGISTRY
+from makerdao_dw_spark.queries import REGISTRY, oracles_dict, queries_dict
 
 from .conftest import SF_DIR, compare_with_oracle
+
+# Test the NORMALIZED surface (double-cast wrappers applied) — this is
+# exactly what the driver consumes via __spark_entry__.queries()/oracle_sql().
+QUERIES = queries_dict()
+ORACLES = oracles_dict()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, name):
-    q = REGISTRY[name]
-    if q.oracle is None:
-        df = q.fn(spark, SF_DIR)
+    if name not in ORACLES:
+        df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0  # rows-only check, mirroring the driver
         return
-    compare_with_oracle(spark, name, q.fn, q.oracle, SF_DIR)
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], SF_DIR)
 
 
 def test_registry_nonempty():

@@ -6,14 +6,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from makerdao_dw_spark.queries import REGISTRY
+from makerdao_dw_spark.queries import sketches
 from makerdao_dw_spark.session import load_table
 
 from .conftest import SF_DIR
 
+# These tests pin the RAW sketch estimates (the registered driver
+# surface exposes exact counts + in-tolerance booleans instead, which
+# the DuckDB oracle checks — see sketches.py).
+_RAW = {
+    "sketch_hll_daily_active": sketches.sketch_hll_daily_active_raw,
+    "sketch_theta_userday_overlap": sketches.sketch_theta_userday_overlap_raw,
+    "sketch_kll_value_quantiles": sketches.sketch_kll_value_quantiles_raw,
+}
+
 
 def run(spark, name):
-    return REGISTRY[name].fn(spark, SF_DIR)
+    return _RAW[name](spark, SF_DIR)
 
 
 def test_hll_rollup_accuracy_and_merge_exactness(spark):

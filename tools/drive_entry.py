@@ -26,17 +26,24 @@ TABLES = (
 
 
 def norm(v):
+    # STRICT: mirror the external driver — Decimal keeps its scale
+    # ("4956.660000" != "4956.66"), int and float stringify differently
+    # ("64" != "64.0"), and list/map cells are fatal (the driver's pandas
+    # canonicalizer crashes on them).
     if isinstance(v, Decimal):
-        s = f"{v.normalize():f}"
-        return s.rstrip("0").rstrip(".") if "." in s else s
+        return f"dec:{v}"
     if isinstance(v, float):
-        return f"{v:.12g}"
+        return f"f:{v:.12g}"
     if isinstance(v, bool):
         return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(str(norm(x)) for x in v) + "]"
+    if isinstance(v, (list, dict, tuple, set)):
+        raise TypeError(
+            f"complex cell type {type(v).__name__} — driver canon crashes on these"
+        )
     if v is None:
         return "<NULL>"
     return str(v)
@@ -97,8 +104,13 @@ def main() -> int:
             failures.append((name, f"duckdb error: {e}"))
             print(f"[{i+1}/{len(queries)}] {name}: DUCKDB ERROR")
             continue
-        sc, sr = canon(s_cols, s_rows)
-        dc, dr = canon(d_cols, d_rows)
+        try:
+            sc, sr = canon(s_cols, s_rows)
+            dc, dr = canon(d_cols, d_rows)
+        except TypeError as e:
+            failures.append((name, f"canon error: {e}"))
+            print(f"[{i+1}/{len(queries)}] {name}: CANON ERROR")
+            continue
         if sc != dc:
             failures.append((name, f"schema mismatch: spark={sc} duck={dc}"))
             print(f"[{i+1}/{len(queries)}] {name}: SCHEMA MISMATCH")
