@@ -8,8 +8,15 @@ every node starts labeled with its own id; each round, every node takes
 the min label in its neighborhood (including itself); converges in
 O(diameter) rounds — O(log n) expected on clustered graphs. Each round
 is one join + one groupBy (two shuffles on uniform keys); lineage is cut
-with localCheckpoint so the plan doesn't grow across iterations — the
-standard Spark pattern for iterative algorithms (same as PageRank).
+each round so the plan doesn't grow across iterations — the standard
+Spark pattern for iterative algorithms (same as PageRank).
+
+Lineage cutting is RELIABLE-checkpoint-aware: localCheckpoint (the
+local[*] default) stores blocks on executors, so losing one executor
+mid-iteration kills the job on a real cluster. Set a checkpoint dir
+(sc.setCheckpointDir or SPARK_GRAFT_CHECKPOINT_DIR) and every cut
+becomes a reliable HDFS/object-store checkpoint instead — survivable
+across executor loss, which a 100 TB multi-hour CC job requires.
 
 At 100 TB: candidate-pair graphs are sparse (LSH bounds degree), rounds
 are data-parallel, and the loop is driver-side control flow only — no
@@ -18,8 +25,23 @@ data ever reaches the driver except the 1-row convergence count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate the plan: reliable checkpoint when a checkpoint dir is
+    configured (cluster-survivable), localCheckpoint otherwise (fast,
+    executor-local — fine for local[*] tests)."""
+    sc = df.sparkSession.sparkContext
+    env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if env_dir and not sc.getCheckpointDir():
+        sc.setCheckpointDir(env_dir)
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def bfs_distances(
@@ -42,23 +64,22 @@ def bfs_distances(
     O(max_hops x frontier-edge joins) — the same plan GraphFrames' BFS
     lowers to.
     """
-    edges = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(eager=True)
-    frontier = (
-        sources.toDF("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    edges = _cut_lineage(edges.selectExpr(f"{src} AS src", f"{dst} AS dst"))
+    frontier = _cut_lineage(
+        sources.toDF("node").distinct().withColumn("dist", F.lit(0))
     )
     visited = frontier
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt = _cut_lineage(
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = _cut_lineage(visited.unionByName(nxt))
         frontier = nxt
     return visited
 
@@ -75,16 +96,15 @@ def connected_components(
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = _cut_lineage(sym.distinct())
 
     # One-hop min initialization: label = min(self, neighbors). LSH dup
     # clusters are near-cliques, so most components converge here and the
     # loop's first iteration is just the convergence proof.
-    labels = (
+    labels = _cut_lineage(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("mn"))
         .select("node", F.least("node", "mn").alias("component"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -96,7 +116,7 @@ def connected_components(
             .unionByName(labels)
         )
         new_labels = offered.groupBy("node").agg(F.min("component").alias("component"))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _cut_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -62,19 +62,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_ORACLE = f"""
+# Quadratic-blowup guard: a bucket of n docs expands to n(n-1)/2 pairs,
+# so one pathological bucket (thousands of near-identical docs landing in
+# the same band hash) would dominate the whole job and can OOM the
+# collect_list buffer. Buckets above the cap are excluded from pair
+# expansion and surfaced in `dedup_minhash_lsh_overflow` — counted, never
+# silently dropped. 1000 caps the expansion at ~500k pairs/bucket.
+LSH_BUCKET_CAP = 1000
+
+_LSH_BANDS_CTE = f"""
 WITH sigs AS (
     SELECT doc_id, {_D_SIG} AS sig
     FROM (SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents)
 ), bands AS (
     SELECT doc_id, UNNEST({_D_BANDS}, recursive := true)
     FROM (SELECT doc_id, sig FROM sigs)
+)"""
+
+_LSH_ORACLE = f"""{_LSH_BANDS_CTE},
+small AS (
+    SELECT band, h FROM bands GROUP BY band, h
+    HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+JOIN small s ON a.band = s.band AND a.h = s.h
 GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
 """
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shingle→minhash→band→bucket pipeline: one scan, one
+    band-keyed exchange, signatures computed exactly once."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
+        "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_hashes("sig", BANDS, ROWS_PER_BAND)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return bands.groupBy("band", "h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
 
 
 @query(
@@ -91,21 +122,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     side re-projects the signatures) and shuffles twice. Here the
     signatures are computed once, one hash exchange groups the bucket
     members, and the a<b pairs come from array combinatorics on the
-    sorted bucket. At 100 TB the in-bucket expansion is quadratic in
-    bucket size, so production adds a bucket-size cap (boilerplate
-    guard); bucket keys are 128-bit md5 band hashes — uniform,
-    skew-free."""
-    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
-        "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
-    )
-    bands = sigs.select(
-        "doc_id", F.explode(band_hashes("sig", BANDS, ROWS_PER_BAND)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    buckets = (
-        bands.groupBy("band", "h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+    sorted bucket. The in-bucket expansion is quadratic in bucket
+    size, so it is guarded by LSH_BUCKET_CAP: over-cap buckets are
+    excluded here and surfaced (band, h, bucket_size) by
+    `dedup_minhash_lsh_overflow` — counted, never silently dropped.
+    Bucket keys are 128-bit md5 band hashes — uniform, skew-free;
+    the cap also bounds each collect_list buffer."""
+    buckets = _lsh_buckets(spark, sf_dir).filter(
+        (F.size("ds") > 1) & (F.size("ds") <= LSH_BUCKET_CAP)
     )
     pairs = buckets.select(
         F.explode(
@@ -120,6 +144,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_overflow",
+    # cap=2 here (vs the production LSH_BUCKET_CAP=1000) so the guard
+    # path produces real rows on testdata and gets a real hash check.
+    oracle=f"""{_LSH_BANDS_CTE}
+SELECT band, h, COUNT(*) AS bucket_size
+FROM bands GROUP BY band, h HAVING COUNT(*) > 2
+ORDER BY band, h
+""",
+    tags=("dedup", "minhash", "lsh", "skew-guard"),
+)
+def dedup_minhash_lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counted side-output of the LSH bucket-size guard: every band
+    bucket whose membership exceeds the cap (demonstrated at cap=2; the
+    production pair expansion uses LSH_BUCKET_CAP=1000). At 100 TB this
+    is the skew monitor — a spike here means a boilerplate/near-identical
+    cluster that should be routed to exact-hash dedup instead of
+    quadratic pair expansion. (Demo threshold 2 keeps the check
+    non-vacuous on testdata, where the largest bucket is 4.)"""
+    return (
+        _lsh_buckets(spark, sf_dir)
+        .filter(F.size("ds") > 2)
+        .select("band", "h", F.size("ds").cast("long").alias("bucket_size"))
+        .orderBy("band", "h")
     )
 
 
