@@ -62,6 +62,58 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           md5(text) AS raw_hash
+    FROM documents
+)
+SELECT norm_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT raw_hash) AS n_raw_variants
+FROM n
+GROUP BY norm_hash
+ORDER BY norm_hash
+""",
+    tags=("dedup", "normalization"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text normalization (lowercase, punctuation →
+    space, whitespace collapse, trim): the pipeline stage between
+    byte-exact dedup and MinHash — it merges trivially-reformatted
+    copies that raw hashing misses, which n_raw_variants makes visible
+    (groups with n_raw_variants > 1 are exactly the wins over
+    dedup_exact; all groups are returned because the synthetic corpus
+    has no byte-exact dups — the check then covers every doc's
+    normalization). Same 100 TB shape as dedup_exact: normalization is
+    map-side codegen, then ONE shuffle on a uniform 128-bit key."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("norm_hash"),
+            F.md5(F.col("text").cast("binary")).alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+        .orderBy("norm_hash")
+    )
+
+
 # Quadratic-blowup guard: a bucket of n docs expands to n(n-1)/2 pairs,
 # so one pathological bucket (thousands of near-identical docs landing in
 # the same band hash) would dominate the whole job and can OOM the

@@ -142,6 +142,115 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SRP-LSH (signed random projection / hyperplane LSH) for cosine ANN.
+# Hyperplanes are derived deterministically from md5 in PYTHON and embedded
+# as identical double literals in both engines' SQL, so bucket assignment
+# is bit-identical — the portable way to share "randomness" across engines.
+# --------------------------------------------------------------------------
+_SRP_PLANES = 8
+
+
+def _srp_plane(j: int, dim: int = DIM) -> list[float]:
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def _srp_bucket_spark(col: str) -> str:
+    terms = []
+    for j in range(_SRP_PLANES):
+        lit = ", ".join(f"{v}D" for v in _srp_plane(j))
+        dot = (
+            f"aggregate(zip_with({col}, array({lit}), (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _srp_bucket_duck(col: str) -> str:
+    terms = []
+    for j in range(_SRP_PLANES):
+        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in _srp_plane(j))
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {DIM}), i -> CAST({col}[i] AS DOUBLE) * ([{lit}])[i])), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "ann_srp_lsh",
+    oracle=f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {_srp_bucket_duck('embedding')} AS bucket
+    FROM embeddings
+), scored AS (
+    SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_SIM_DUCK} AS cosine
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % 25 = 0
+)
+SELECT bucket, query_id, neighbor_id, cosine, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+    tags=("similarity", "ann", "lsh", "srp"),
+)
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine ANN: 8 signed random projections hash each
+    vector to a 256-way bucket; candidates are same-bucket pairs only,
+    then exact cosine + per-probe top-5. The third ANN strategy next to
+    brute-force (exact) and IVF (centroid-bucketed): SRP needs NO
+    training pass and its bucket count grows exponentially with planes —
+    at 100 TB, 20-24 planes give millions of uniform buckets, the
+    same-bucket self-join shuffles on the bucket key, and candidate
+    count per probe collapses by ~2^planes. Hyperplanes are md5-seeded
+    literals identical in both engines, so the bucketing (and therefore
+    the result) is fully deterministic and oracle-checkable."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_srp_bucket_spark("embedding")).alias("bucket"),
+        F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("nrm"),
+    )
+    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    b = en.alias("b")
+    sim = F.round(
+        F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
 @query(
     "embedding_norms_stats",
     oracle=f"""

@@ -226,3 +226,72 @@ def regexp_extract_all_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(ops, 1, 5), ",").alias("first_ops"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{6,}\b"), 0)).alias("n_long_words"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-prep: vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------
+_VOCAB_K = 1000
+
+@query(
+    "vocab_oov_coverage",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+    SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), vocab AS (
+    SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM freq
+    ) WHERE rk <= {_VOCAB_K}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("text", "vocab", "tokenizer-prep"),
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-1000 corpus vocabulary by term
+    frequency (deterministic rank: count DESC, term ASC), then score every
+    document's out-of-vocabulary token count and rate — the standard
+    pre-tokenizer corpus health check.
+
+    Scale shape: term frequencies shuffle once on the term key (map-side
+    combined); the vocabulary is top-K and therefore tiny — it BROADCASTS
+    to the per-token membership join, so the second pass is map-side only
+    plus the final doc_id aggregation. At 100 TB the vocab stays KB-MB
+    regardless of corpus size (K is fixed), so the plan shape is
+    scan + 2 small shuffles, never a big-big join."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # top-K via orderBy+limit = TakeOrderedAndProject: per-partition
+    # partial top-K merged on the driver — no single-partition global
+    # window sort over the whole term space.
+    vocab = (
+        freq.orderBy(F.col("c").desc(), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
