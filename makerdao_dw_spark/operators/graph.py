@@ -107,25 +107,33 @@ def connected_components(
         .select("node", F.least("node", "mn").alias("component"))
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # neighbor labels: for each edge (a,b), b's current label offers
-        # itself to a; plus every node keeps its own label
+        # itself to a; plus every node keeps its own label. The self-row
+        # carries the OLD label in a side column so convergence is
+        # measured inside the SAME job (Observation metric collected by
+        # the eager lineage cut) — no separate old-vs-new join pass.
         offered = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "component")
-            .unionByName(labels)
+            .withColumn("old", F.lit(None).cast(dict(labels.dtypes)["component"]))
+            .unionByName(labels.withColumn("old", F.col("component")))
         )
-        new_labels = offered.groupBy("node").agg(F.min("component").alias("component"))
-        new_labels = _cut_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        agg = offered.groupBy("node").agg(
+            F.min("component").alias("component"),
+            # exactly one self-row per node => max(old) IS the old label
+            F.max("old").alias("old"),
         )
+        obs = Observation()
+        flagged = agg.observe(
+            obs,
+            F.sum((F.col("component") != F.col("old")).cast("long")).alias("n_changed"),
+        )
+        new_labels = _cut_lineage(flagged.select("node", "component"))
         labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             return labels
     # exhausting max_iter without convergence means some component's
     # labels are WRONG (one real component reported as several) — that

@@ -55,7 +55,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     ).filter(F.length("term") >= 3)
     terms = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("docfreq"))
+    # docfreq = plain count over the already-unique (doc_id, term) rows,
+    # NOT countDistinct (which plans its own (term, doc_id)
+    # pre-aggregation — a different exchange, defeating ReusedExchange
+    # and re-running scan+tokenize+agg). The tf > 0 predicate (always
+    # true) stops column pruning from dropping tf out of this branch's
+    # child aggregate, which would again make the two exchanges differ.
+    # Net effect: ONE tokenization, both consumers read the same
+    # (doc_id, term) exchange (ReusedExchange, plan-asserted).
+    dfreq = terms.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("docfreq")
+    )
     n_docs = d.count()  # scalar; at scale: a 1-row broadcast instead of collect
     scored = terms.join(F.broadcast(dfreq), "term").select(
         "doc_id",

@@ -468,3 +468,15 @@ def test_map_battery_lambdas_stay_jvm_side(spark):
     p = plan_str(run(spark, "map_functions_battery"), "simple")
     assert "EvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_tfidf_reuses_term_exchange(spark):
+    """text_tfidf_topterms must tokenize ONCE: the docfreq branch and the
+    scoring join consume the same (doc_id, term) exchange, which AQE
+    dedupes at runtime into a ReusedExchange/reused stage. A regression
+    (e.g. countDistinct re-introducing its own pre-aggregation, or column
+    pruning splitting the subtrees) doubles the scan+tokenize work."""
+    df = run(spark, "text_tfidf_topterms")
+    df.collect()  # AQE reuse appears in the FINAL adaptive plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p, p
