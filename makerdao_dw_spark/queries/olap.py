@@ -790,3 +790,63 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier (dominance query)
+# --------------------------------------------------------------------------
+@query(
+    "skyline_orders",
+    oracle="""
+WITH per_price AS (
+    SELECT o_totalprice AS price, MAX(o_orderdate) AS mx_date
+    FROM orders GROUP BY o_totalprice
+), swept AS (
+    SELECT price,
+           MAX(mx_date) OVER (ORDER BY price DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better_price_mx_date
+    FROM per_price
+)
+SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price, o.o_orderdate
+FROM orders o JOIN swept s ON o.o_totalprice = s.price
+WHERE s.better_price_mx_date IS NULL OR s.better_price_mx_date <= o.o_orderdate
+ORDER BY price DESC, o.o_orderkey
+""",
+    tags=("skyline", "pareto", "dominance"),
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (price higher-better, date later-
+    better): an order is on the skyline iff no other order has BOTH a
+    strictly higher price and a strictly later date — the classic
+    dominance operator (maxima) that SQL engines lack as a primitive.
+
+    Sweep formulation, not the O(N^2) dominance self-join: collapse to
+    per-distinct-price max dates (one shuffle), run ONE descending-price
+    window whose running max(date) over STRICTLY-better prices (the
+    1-PRECEDING frame on distinct prices = strictly greater) gives each
+    price level its dominating date; join back and filter. The global
+    window runs on |distinct prices| rows, not facts; at 100 TB shard it
+    like the sweep-line: per-shard frontiers union'd then re-swept
+    (frontier size is tiny, so the re-sweep is driver-trivial)."""
+    o = _t(spark, sf_dir, "orders")
+    per_price = o.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("mx_date")
+    )
+    w = (
+        Window.orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = per_price.select(
+        "price", F.max("mx_date").over(w).alias("better_price_mx_date")
+    )
+    return (
+        o.join(swept, o.o_totalprice == swept.price)
+        .filter(
+            F.col("better_price_mx_date").isNull()
+            | (F.col("better_price_mx_date") <= F.col("o_orderdate"))
+        )
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price"), "o_orderdate"
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+    )

@@ -286,3 +286,75 @@ def curation_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive negative sampling (deterministic, hash-based)
+# --------------------------------------------------------------------------
+@query(
+    "contrastive_negative_pairs",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (
+    SELECT doc_id, source FROM documents WHERE doc_id % 20 = 0
+), negs AS (
+    SELECT a.doc_id,
+           a.source,
+           j AS neg_rank,
+           CAST(('0x' || substr(md5('neg:' || CAST(a.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+             % n.n_docs AS neg_doc_id
+    FROM anchors a CROSS JOIN n, UNNEST(generate_series(1, 3)) AS t(j)
+)
+SELECT g.doc_id, g.neg_rank, g.neg_doc_id,
+       d.source AS neg_source,
+       (d.source = g.source) AS same_source
+FROM negs g JOIN documents d ON g.neg_doc_id = d.doc_id
+WHERE g.neg_doc_id <> g.doc_id
+ORDER BY g.doc_id, g.neg_rank
+""",
+    tags=("training-prep", "contrastive", "sampling"),
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws k=3 negatives by hashing (anchor, rank) onto the
+    contiguous doc-id ring — a pure function of the data (stable under
+    repartitioning/retries, reproducible in any engine), unlike rand()-
+    based samplers. Accidental self-draws are dropped, and the negative's
+    source is joined back so a same-source rate (the "hard negative"
+    fraction) is visible per pair.
+
+    100 TB shape: anchors and the k-expansion are narrow map work; the
+    only shuffle is the join of (anchors x k) against the doc metadata
+    on the uniform hashed id — and in a real corpus the metadata side is
+    the slim (id, source) projection, not documents."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    n_docs = d.count()  # scalar modulus; at scale: 1-row broadcast
+    anchors = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "source")
+    negs = (
+        anchors.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("neg_rank"),
+        )
+        .withColumn(
+            "neg_doc_id",
+            F.expr(
+                "cast(conv(substring(md5(concat('neg:', cast(doc_id as string), ':', "
+                "cast(neg_rank as string))), 1, 8), 16, 10) as bigint)"
+            )
+            % F.lit(n_docs),
+        )
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+    )
+    meta = d.select(F.col("doc_id").alias("neg_doc_id"), F.col("source").alias("neg_source"))
+    return (
+        negs.join(meta, "neg_doc_id")
+        .select(
+            "doc_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            "neg_doc_id",
+            "neg_source",
+            (F.col("neg_source") == F.col("source")).alias("same_source"),
+        )
+        .orderBy("doc_id", "neg_rank")
+    )
