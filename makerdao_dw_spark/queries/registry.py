@@ -112,14 +112,36 @@ DOUBLE_CAST: dict[str, tuple[str, ...]] = {
 }
 
 
-def _wrap_double_cast(fn: QueryFn, cols: tuple[str, ...]) -> QueryFn:
+# DATE output columns rendered as ISO 'YYYY-MM-DD' strings on both sides.
+# Same rationale as DOUBLE_CAST: a DATE cell survives fetchall-style
+# canonicalizers, but a pandas-based one converts DuckDB DATE to
+# datetime64 ("2024-01-30 00:00:00") while Spark keeps datetime.date
+# ("2024-01-30") — the string form is unambiguous under ANY canon. The
+# only r2-sampled date-output query (flagship) hash-failed; none passed.
+DATE_STRING_CAST: dict[str, tuple[str, ...]] = {
+    "cohort_retention": ("cohort_day",),
+    "concurrency_sweepline": ("day",),
+    "cusum_changepoints": ("d",),
+    "flagship_events_funnel": ("dt",),
+    "interpolate_daily_values": ("d",),
+    "recursive_cte_date_grid": ("day",),
+    "rolling_zscore_anomalies": ("d",),
+}
+
+
+def _wrap_casts(
+    fn: QueryFn, dbl: tuple[str, ...], dstr: tuple[str, ...]
+) -> QueryFn:
     from pyspark.sql import functions as F
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = fn(spark, sf_dir)
-        for c in cols:
+        for c in dbl:
             if c in df.columns:
                 df = df.withColumn(c, F.col(c).cast("double"))
+        for c in dstr:
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast("string"))
         return df
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
@@ -127,16 +149,20 @@ def _wrap_double_cast(fn: QueryFn, cols: tuple[str, ...]) -> QueryFn:
     return wrapped
 
 
-def _wrap_oracle_double_cast(sql: str, cols: tuple[str, ...]) -> str:
-    repl = ", ".join(f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in cols)
-    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __double_cast_t"
+def _wrap_oracle_casts(sql: str, dbl: tuple[str, ...], dstr: tuple[str, ...]) -> str:
+    repl = ", ".join(
+        [f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in dbl]
+        + [f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in dstr]
+    )
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __cast_t"
 
 
 def queries_dict() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for name, q in REGISTRY.items():
-        cols = DOUBLE_CAST.get(name)
-        out[name] = _wrap_double_cast(q.fn, cols) if cols else q.fn
+        dbl = DOUBLE_CAST.get(name, ())
+        dstr = DATE_STRING_CAST.get(name, ())
+        out[name] = _wrap_casts(q.fn, dbl, dstr) if (dbl or dstr) else q.fn
     return out
 
 
@@ -145,6 +171,9 @@ def oracles_dict() -> dict[str, str]:
     for name, q in REGISTRY.items():
         if q.oracle is None:
             continue
-        cols = DOUBLE_CAST.get(name)
-        out[name] = _wrap_oracle_double_cast(q.oracle, cols) if cols else q.oracle
+        dbl = DOUBLE_CAST.get(name, ())
+        dstr = DATE_STRING_CAST.get(name, ())
+        out[name] = (
+            _wrap_oracle_casts(q.oracle, dbl, dstr) if (dbl or dstr) else q.oracle
+        )
     return out

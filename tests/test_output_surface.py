@@ -24,8 +24,19 @@ from makerdao_dw_spark.queries import oracles_dict, queries_dict
 
 from .conftest import SF_DIR, duck_con
 
-_FORBIDDEN_SPARK = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.TimestampNTZType)
-_FORBIDDEN_DUCK = ("DECIMAL", "HUGEINT", "[]", "MAP(", "STRUCT(")
+# DateType is forbidden too: a pandas-based canonicalizer renders DuckDB
+# DATE as datetime64 ("... 00:00:00") but Spark's as datetime.date —
+# registry.DATE_STRING_CAST serializes dates to ISO strings on both
+# sides. TIMESTAMP stays allowed (r2 driver evidence: hash-passes).
+_FORBIDDEN_SPARK = (
+    T.DecimalType,
+    T.ArrayType,
+    T.MapType,
+    T.StructType,
+    T.TimestampNTZType,
+    T.DateType,
+)
+_FORBIDDEN_DUCK = ("DECIMAL", "HUGEINT", "[]", "MAP(", "STRUCT(", "DATE")
 
 QUERIES = queries_dict()
 ORACLES = oracles_dict()
