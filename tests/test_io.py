@@ -139,6 +139,42 @@ def test_sorted_write_enables_row_group_pruning(spark, tmp_path):
     assert back.count() == li.count()
 
 
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Multi-dim clustering: after zorder_write on (x, y), a narrow range
+    predicate on EITHER dimension skips a large share of row groups —
+    the property single-key sorted_write cannot give the trailing key
+    (its y-pruning is ~0 on the same data)."""
+    from pyspark.sql import functions as F
+
+    from makerdao_dw_spark.io.layout import pruning_ratio, sorted_write, zorder_write
+
+    # full 64x64 grid, 4 rows per cell — both dims uniform
+    grid = (
+        spark.range(64 * 64 * 4)
+        .select(
+            ((F.col("id") / 4).cast("long") % 64).alias("x"),
+            ((F.col("id") / 256).cast("long") % 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    zpath = str(tmp_path / "zordered")
+    zorder_write(grid, zpath, ["x", "y"], bits=6, num_files=16)
+    x_prune = pruning_ratio(zpath, "x", 10, 13)
+    y_prune = pruning_ratio(zpath, "y", 10, 13)
+    assert x_prune >= 0.5, x_prune
+    assert y_prune >= 0.5, y_prune
+
+    spath = str(tmp_path / "xsorted")
+    sorted_write(grid, spath, ["x"], num_files=16)
+    # leading key prunes great, trailing key prunes nothing
+    assert pruning_ratio(spath, "x", 10, 13) >= 0.75
+    assert pruning_ratio(spath, "y", 10, 13) <= 0.25
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == grid.count()
+    assert set(back.columns) == {"x", "y", "payload"}
+
+
 def test_analyze_table_feeds_cbo_broadcast(spark, tmp_path):
     """ANALYZE TABLE must surface rowCount stats, and an analyzed
     dimension-sized table must auto-broadcast in a join WITHOUT an
