@@ -15,14 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from makerdao_dw_spark.queries import REGISTRY, oracles_dict, queries_dict  # noqa: E402
+from makerdao_dw_spark.queries import oracles_dict, queries_dict  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["flagship_events_funnel"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Uses the normalized surface (queries_dict wrapper), so entry() emits
+    exactly what queries()['flagship_events_funnel'] emits — canon-stable
+    doubles/strings, no decimals or dates."""
+    return queries_dict()["flagship_events_funnel"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
