@@ -850,3 +850,61 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("price").desc(), "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile discretization (ML feature binning)
+# --------------------------------------------------------------------------
+@query(
+    "quantile_bin_features",
+    oracle="""
+WITH b AS (
+    SELECT list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                          x -> ROUND(x, 4)) AS bs
+    FROM orders
+)
+SELECT len(list_filter(b.bs, x -> x <= CAST(o.o_totalprice AS DOUBLE))) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(CAST(o.o_totalprice AS DOUBLE)), 2) AS lo,
+       ROUND(MAX(CAST(o.o_totalprice AS DOUBLE)), 2) AS hi
+FROM orders o CROSS JOIN b
+GROUP BY 1
+ORDER BY bin
+""",
+    tags=("binning", "quantile", "ml-prep"),
+)
+def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile discretization of a numeric feature (the QuantileDiscretizer
+    shape): pass 1 computes the 9 interior decile boundaries (exact
+    interpolated percentile, rounded to 4dp so both engines agree at the
+    ulp level), pass 2 assigns each row its bin by counting boundaries
+    <= value. The boundary table is ONE row -> broadcast crossJoin; bin
+    assignment is a map-side array op; the rollup is a 10-group
+    aggregation. At 100 TB swap percentile -> approx_percentile (same
+    shape, mergeable sketch pass)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "transform(percentile(cast(o_totalprice as double),"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " x -> round(x, 4))"
+        ).alias("bs")
+    )
+    p = F.col("o_totalprice").cast("double")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.expr("filter(bs, x -> x <= cast(o_totalprice as double))"))
+            .cast("long")
+            .alias("bin"),
+            p.alias("price"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("price"), 2).alias("lo"),
+            F.round(F.max("price"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -358,3 +358,49 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "neg_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (p_s ∝ n_s^alpha)
+# --------------------------------------------------------------------------
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+WITH s AS (
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents GROUP BY source
+), p AS (
+    SELECT *, POW(CAST(n_docs AS DOUBLE), 0.5) AS raw_w FROM s
+)
+SELECT source, n_docs, n_chars_total,
+       ROUND(raw_w / SUM(raw_w) OVER (), 9) AS mix_weight,
+       ROUND((raw_w / SUM(raw_w) OVER ()) / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS upsample_factor
+FROM p
+ORDER BY source
+""",
+    tags=("training-prep", "mixture", "temperature"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/multi-domain
+    balancing rule p_s ∝ n_s^alpha, alpha=0.5): per-source corpus stats,
+    the normalized sampling weight, and the implied up/down-sampling
+    factor vs natural frequency. The window normalization runs over
+    |sources| pre-aggregated rows (a handful), so the global SUM() OVER ()
+    is driver-trivial at any corpus size — the data-sized work is the one
+    per-source aggregation shuffle."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+    w = Window.partitionBy()
+    raw_w = F.pow(F.col("n_docs").cast("double"), 0.5)
+    nat = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    mix = raw_w / F.sum(raw_w).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(mix, 9).alias("mix_weight"),
+        F.round(mix / nat, 6).alias("upsample_factor"),
+    ).orderBy("source")
