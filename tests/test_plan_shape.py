@@ -480,3 +480,34 @@ def test_tfidf_reuses_term_exchange(spark):
     df.collect()  # AQE reuse appears in the FINAL adaptive plan
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p or "ReusedQueryStage" in p, p
+
+
+def test_vocab_topk_is_takeordered_and_broadcast(spark):
+    """vocab_oov_coverage: the top-K vocabulary must come from
+    TakeOrderedAndProject (distributed partial top-K, never a global
+    window sort) and must BROADCAST to the per-token membership join."""
+    p = plan_str(run(spark, "vocab_oov_coverage"))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowExec" not in p
+
+
+def test_skyline_sweeps_distinct_prices_not_facts(spark):
+    """skyline_orders: the dominance sweep must run its global window on
+    the per-distinct-price aggregate (one HashAggregate below the
+    Window), never on the fact table, and join back as a broadcast."""
+    p = plan_str(run(spark, "skyline_orders"))
+    assert "Window" in p
+    # the window's input is the per-price aggregate — the aggregate node
+    # must appear, and the O(N^2) shape (nested-loop join) must not
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_srp_lsh_buckets_are_computed_map_side(spark):
+    """ann_srp_lsh: bucket assignment is codegen'd map-side arithmetic —
+    no Python eval — and the candidate join is an equi hash/merge join on
+    the bucket key, never a nested-loop over all pairs."""
+    p = plan_str(run(spark, "ann_srp_lsh"))
+    assert "EvalPython" not in p and "ArrowEval" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
