@@ -404,3 +404,90 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mix, 9).alias("mix_weight"),
         F.round(mix / nat, 6).alias("upsample_factor"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus prep: normalize -> dedup -> quality gate -> split ->
+# rollup, composed as ONE declarative plan
+# --------------------------------------------------------------------------
+@query(
+    "corpus_end_to_end_pipeline",
+    oracle="""
+WITH normed AS (
+    SELECT doc_id, source, n_chars, text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+), kept AS (  -- dedup: keep the min doc_id per normalized hash
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+        FROM normed
+    ) WHERE rn = 1
+), gated AS (  -- quality gate: length thresholds
+    SELECT * FROM kept
+    WHERE len(string_split(text, ' ')) >= 20 AND n_chars >= 100
+), split AS (  -- deterministic hash split 80/10/10
+    SELECT *,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+        FROM gated
+    )
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM split
+GROUP BY split, source
+ORDER BY split, source
+""",
+    tags=("training-prep", "pipeline", "composition"),
+)
+def corpus_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep flow as ONE Catalyst plan: text
+    normalization (codegen string ops) → normalized-hash dedup (keep
+    min doc_id per hash — a row_number window on the uniform 128-bit
+    key) → quality gate (token/char thresholds, map-side) → 80/10/10
+    hash split (pure function of doc_id) → per-(split, source) rollup.
+
+    The point of composing it declaratively instead of materializing
+    each stage: Catalyst pipelines the narrow stages (normalize, gate,
+    split are all map-side over the scan), so the whole pipeline costs
+    exactly TWO shuffles at any corpus size — the dedup window's hash
+    exchange and the final rollup — where a stage-materialized version
+    pays a write+read round-trip per stage."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    normed = d.select(
+        "doc_id", "source", "n_chars", "text", F.md5(norm.cast("binary")).alias("norm_hash")
+    )
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    kept = normed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    gated = kept.filter(
+        (F.size(F.split("text", " ")) >= 20) & (F.col("n_chars") >= 100)
+    )
+    h = (
+        F.expr(
+            "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = gated.withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+    )
+    return (
+        split.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split", "source")
+    )

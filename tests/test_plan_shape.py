@@ -511,3 +511,13 @@ def test_srp_lsh_buckets_are_computed_map_side(spark):
     p = plan_str(run(spark, "ann_srp_lsh"))
     assert "EvalPython" not in p and "ArrowEval" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_pipeline_is_one_scan_two_shuffles(spark):
+    """corpus_end_to_end_pipeline: normalize/gate/split pipeline into the
+    scan (narrow), so the whole flow is ONE FileScan and exactly TWO hash
+    exchanges (dedup window key + final rollup) at any corpus size."""
+    df = run(spark, "corpus_end_to_end_pipeline")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 2, p
