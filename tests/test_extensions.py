@@ -167,3 +167,53 @@ def test_cusum_counts_empty_prefix(spark, tmp_path):
     df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
     got = {str(r.d): float(r.cusum) for r in cusum_changepoints(spark, str(tmp_path)).collect()}
     assert got == {"2024-01-01": 100.0, "2024-01-02": 200.0, "2024-01-03": 300.0}, got
+
+
+def test_zorder_expr_matches_python_morton(spark):
+    """zorder_expr's Catalyst bit interleave == a pure-Python Morton
+    reference, over a grid including clamp boundaries."""
+    from makerdao_dw_spark.io.layout import zorder_expr
+
+    import pyspark.sql.functions as F
+
+    bits = 6
+
+    def morton(x: int, y: int) -> int:
+        x = min(max(x, 0), (1 << bits) - 1)
+        y = min(max(y, 0), (1 << bits) - 1)
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    vals = [-5, 0, 1, 2, 7, 31, 63, 64, 1000]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", F.expr(zorder_expr(["x", "y"], bits=bits))
+    )
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y, r.z, morton(r.x, r.y))
+
+
+def test_srp_bucket_matches_numpy_reference(spark):
+    """ann_srp_lsh's bucket expression == numpy sign-of-projection onto
+    the same md5-seeded hyperplanes."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from makerdao_dw_spark.queries.similarity import _SRP_PLANES, _srp_bucket_spark, _srp_plane
+    from makerdao_dw_spark.session import load_table
+
+    planes = np.array([_srp_plane(j) for j in range(_SRP_PLANES)])  # 8 x 64
+    e = load_table(spark, SF_DIR, "embeddings").limit(50)
+    got = {
+        r.vec_id: r.bucket
+        for r in e.select(
+            "vec_id", F.expr(_srp_bucket_spark("embedding")).alias("bucket")
+        ).collect()
+    }
+    for r in e.collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        dots = planes @ v
+        want = sum((1 << j) for j, d in enumerate(dots) if d >= 0)
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
