@@ -270,3 +270,30 @@ def test_serving_table_upsert_exactly_once(spark, tmp_path):
     assert {
         r.user_id: (r.n_events, str(r.sum_value)) for r in merged.collect()
     } == expected(events)
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The RocksDB state store provider (the 100 TB choice: state spills
+    to local disk instead of living on the executor heap) produces
+    byte-identical windowed-aggregation results to the default provider.
+    Provider is picked per-query at checkpoint creation, so flipping the
+    conf between runs is safe with fresh checkpoints."""
+    from makerdao_dw_spark.streaming.jobs import run_windowed_counts
+
+    from .conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    base = [tuple(r) for r in run_windowed_counts(spark, SF_DIR).collect()]
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = [tuple(r) for r in run_windowed_counts(spark, SF_DIR).collect()]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert sorted(base) == sorted(rocks)
