@@ -123,7 +123,14 @@ def configure(spark: SparkSession) -> SparkSession:
 # without a repartition, every map-side stage (partial agg, projection,
 # hashing) runs on one core regardless of cluster size. Real tables have
 # many row groups/files and never hit this branch.
-_AUTO_SPREAD_BYTES = 1_500_000
+#
+# Threshold calibration (measured at sf0.1): for RELATIONAL queries the
+# round-robin exchange costs MORE than single-core map work saves below
+# ~50 MB (q1 shape: 0.5s unspread vs 1.0s spread — the agg/join shuffles
+# on its key anyway, so spread is an extra exchange). CPU-heavy text/
+# embedding queries pass spread=True explicitly, so the auto path only
+# guards the genuinely-starved case: a big single-row-group file.
+_AUTO_SPREAD_BYTES = 48_000_000
 
 
 def load_table(
