@@ -143,3 +143,95 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 scoring (retrieval-quality ranking over the inverted index)
+# --------------------------------------------------------------------------
+@query(
+    "bm25_topdocs",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS f FROM toks GROUP BY doc_id, tok
+), dl AS (
+    SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(len AS DOUBLE)) AS avgdl FROM dl
+), df AS (
+    SELECT tok, COUNT(*) AS nq FROM tf GROUP BY tok
+), scored AS (
+    SELECT t.doc_id,
+           -- per-term contribution rounded + summed in DECIMAL: float
+           -- addition is order-dependent, decimal sums are not, so the
+           -- score is stable under any partitioning in either engine
+           CAST(SUM(CAST(ROUND(
+             LN(1.0 + (s.n_docs - d.nq + 0.5) / (d.nq + 0.5)) *
+             (t.f * 2.2) /
+             (t.f + 1.2 * (0.25 + 0.75 * l.len / s.avgdl))
+           , 9) AS DECIMAL(38,9)) ) AS DOUBLE) AS bm25
+    FROM tf t
+    JOIN df d USING (tok)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    WHERE t.tok IN ('data', 'model', 'training')
+    GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(bm25, 6) AS bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+    tags=("indexing", "bm25", "retrieval"),
+)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) ranking of documents for a fixed term query
+    — the retrieval scorer a curation pipeline uses to pull
+    domain-relevant documents out of a crawl. All statistics (tf, df,
+    doc length, avgdl) come from grouped aggregates; the idf/length
+    normalization is deterministic double arithmetic identical in both
+    engines.
+
+    Scale shape: the (doc, term) count shuffle dominates and happens
+    once; df for the 3 query terms and the 2-scalar corpus stats
+    broadcast; top-20 is TakeOrderedAndProject. At 100 TB the df/avgdl
+    tables are the persisted index — scoring a new query is then
+    broadcast-join + rollup over the posting subset only."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("len").cast("double")).alias("avgdl")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("nq"))
+    q_terms = ("data", "model", "training")
+    scored = (
+        tf.filter(F.col("tok").isin(*q_terms))
+        .join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            # decimal-summed contributions: order-independent (see oracle)
+            F.sum(
+                F.round(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("nq") + 0.5) / (F.col("nq") + 0.5)
+                    )
+                    * (F.col("f") * 2.2)
+                    / (
+                        F.col("f")
+                        + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+                    ),
+                    9,
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("bm25_raw")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("bm25_raw", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -116,3 +116,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "n_frames", "frame_idx", "frame_digest").orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# Content-addressable chunking (block-level dedup prep for binary payloads)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_chunk_cas",
+    oracle="""
+WITH payload AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           text AS p
+    FROM documents
+), chunks AS (
+    SELECT doc_id, media_type,
+           i AS chunk_idx,
+           md5(substr(p, CAST(i * 256 + 1 AS BIGINT), 256)) AS digest,
+           octet_length(encode(substr(p, CAST(i * 256 + 1 AS BIGINT), 256))) AS chunk_bytes
+    FROM payload, UNNEST(generate_series(0, CAST(CEIL(length(p) / 256.0) AS BIGINT) - 1)) AS t(i)
+)
+SELECT media_type,
+       COUNT(*) AS total_chunks,
+       COUNT(DISTINCT digest) AS distinct_chunks,
+       CAST(SUM(chunk_bytes) AS BIGINT) AS total_bytes,
+       ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6) AS dedup_ratio
+FROM chunks
+GROUP BY media_type
+ORDER BY media_type
+""",
+    tags=("multimodal", "cas", "chunking", "dedup"),
+)
+def multimodal_chunk_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunking of binary payloads: split each
+    payload into fixed 256-byte blocks, digest each block, and report
+    the block-level dedup ratio per media type — the prep step for CAS
+    storage of a multimodal corpus, where near-identical media (shared
+    headers, repeated segments) dedups at block granularity even when
+    whole-file hashes differ.
+
+    Scale shape: chunking is a narrow explode over the scan (sequence +
+    binary substring, codegen); the only shuffle carries (media_type,
+    16-byte digest) pairs — never payload bytes — into the distinct
+    count. At 100 TB the digest table IS the CAS index."""
+    # char-based chunking on both sides (DuckDB cannot slice BLOBs);
+    # the fake payload is the utf-8 encoding of text, so char chunks
+    # cast to binary digest identically in both engines
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    m = d.select("doc_id", media.alias("media_type"), F.col("text").alias("p"))
+    chunks = m.select(
+        "doc_id",
+        "media_type",
+        F.explode(
+            F.sequence(F.lit(0), (F.ceil(F.length("p") / 256.0)).cast("long") - 1)
+        ).alias("chunk_idx"),
+        F.col("p"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "chunk_idx",
+        F.md5(F.expr("substring(p, chunk_idx * 256 + 1, 256)").cast("binary")).alias("digest"),
+        F.length(
+            F.expr("substring(p, chunk_idx * 256 + 1, 256)").cast("binary")
+        ).alias("chunk_bytes"),
+    )
+    return (
+        chunks.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.countDistinct("digest").alias("distinct_chunks"),
+            F.sum("chunk_bytes").cast("bigint").alias("total_bytes"),
+            F.round(
+                1.0 - F.countDistinct("digest").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("media_type")
+    )
