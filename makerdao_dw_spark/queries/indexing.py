@@ -156,7 +156,9 @@ WITH toks AS (
 ), tf AS (
     SELECT doc_id, tok, COUNT(*) AS f FROM toks GROUP BY doc_id, tok
 ), dl AS (
-    SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+    -- doc length from tf (sum of term freqs == token count): derives the
+    -- whole statistic tree from ONE tokenization pass
+    SELECT doc_id, CAST(SUM(f) AS BIGINT) AS len FROM tf GROUP BY doc_id
 ), stats AS (
     SELECT COUNT(*) AS n_docs, AVG(CAST(len AS DOUBLE)) AS avgdl FROM dl
 ), df AS (
@@ -198,11 +200,19 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join + rollup over the posting subset only."""
     toks = _tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    # dl and df both derive FROM tf (len = sum of term freqs). Catalyst
+    # then infers the probe's `tok IN (...)` constraint through the join
+    # into the tf and df branches, so those tokenization passes aggregate
+    # only the 3 query terms (filter below the partial agg — see the
+    # executed plan); only dl pays a full-corpus pass, and at 100 TB dl/df
+    # are the persisted index, not recomputed per query.
+    dl = tf.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("f") > 0, F.col("f"))).cast("bigint").alias("len")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("len").cast("double")).alias("avgdl")
     )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("nq"))
+    df_t = tf.groupBy("tok").agg(F.count(F.when(F.col("f") > 0, 1)).alias("nq"))
     q_terms = ("data", "model", "training")
     scored = (
         tf.filter(F.col("tok").isin(*q_terms))
