@@ -198,3 +198,71 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rabin-Karp polynomial rolling hash (exact integer fingerprinting)
+# --------------------------------------------------------------------------
+# hash(s) = fold(h -> h*B + code(c) mod M); B=257, M=2^31-1 keeps every
+# intermediate < 2^63 so bigint math is exact in BOTH engines.
+@query(
+    "doc_rolling_hash_rabin",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, length(text) AS n_chars_txt,
+           list_transform(generate_series(1, length(text)),
+                          i -> ord(substr(text, i, 1))) AS cs
+    FROM documents
+), hashed AS (
+    SELECT doc_id, n_chars_txt,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                       (h, c) -> (h * 257 + c) % 2147483647) AS full_hash,
+           list_transform(generate_series(0, CAST(CEIL(len(cs) / 64.0) AS BIGINT) - 1),
+                          b -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[(b*64+1):(b*64+64)]),
+                                           (h, c) -> (h * 257 + c) % 2147483647)) AS block_hashes
+    FROM chars
+)
+SELECT doc_id, n_chars_txt, full_hash,
+       len(block_hashes) AS n_blocks,
+       len(list_distinct(block_hashes)) AS n_distinct_blocks,
+       list_min(block_hashes) AS min_block_hash
+FROM hashed
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def doc_rolling_hash_rabin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial fingerprints, computed with EXACT integer
+    folds (base 257 mod 2^31-1 — every intermediate fits a bigint, so
+    the hash is bit-identical in any engine): the full-document hash
+    plus per-64-char-block hashes (the content-defined-chunk shape used
+    for shift-tolerant dedup), with block distinctness and the min block
+    hash (the winnowing selector) as summary columns.
+
+    Scale shape: pure map-side higher-order expressions over the scan —
+    char codes, one fold per block, zero shuffles before the final sort;
+    the fingerprint columns are what a dedup pass would shuffle, never
+    the text."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    fold = "(acc, c) -> (acc * 257 + c) % 2147483647"
+    expr = let_bound(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))",
+        "struct("
+        f" aggregate({{x}}, cast(0 as bigint), {fold}) AS full_hash,"
+        " transform(sequence(0, cast(ceil(size({x}) / 64.0) as bigint) - 1),"
+        f"  b -> aggregate(slice({{x}}, b*64+1, 64), cast(0 as bigint), {fold})) AS block_hashes"
+        ")",
+    )
+    h = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.expr(expr).alias("h"),
+    )
+    return h.select(
+        "doc_id",
+        "n_chars_txt",
+        F.col("h.full_hash").alias("full_hash"),
+        F.size("h.block_hashes").cast("long").alias("n_blocks"),
+        F.size(F.array_distinct("h.block_hashes")).cast("long").alias("n_distinct_blocks"),
+        F.array_min("h.block_hashes").alias("min_block_hash"),
+    ).orderBy("doc_id")
