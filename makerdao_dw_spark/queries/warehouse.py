@@ -484,3 +484,59 @@ def pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset.observe: DQ metrics collected ON the scan, not by a second pass
+# --------------------------------------------------------------------------
+@query(
+    "dq_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+""",
+    tags=("dq", "observe", "metrics"),
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters via Dataset.observe: the metrics accumulate
+    on the SAME job that materializes the frame (CollectMetricsExec is
+    map-side, merged on the driver), so at 100 TB the quality telemetry
+    is free — no second scan, no extra shuffle. The exception is
+    n_event_types (distinct needs an aggregation, observe can only do
+    algebraic accumulators), computed in the same single pass's
+    aggregate instead.
+
+    The observed metrics come back as a 1-row DataFrame compared against
+    a plain DuckDB aggregate oracle — proving the accumulator path
+    produces exactly what a dedicated aggregation pass would."""
+    from pyspark.sql import Observation
+
+    e = _t(spark, sf_dir, "events")
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    # one real pass: the distinct-type aggregate drives the job the
+    # observation piggybacks on
+    n_types = observed.agg(F.countDistinct("event_type").alias("n")).collect()[0]["n"]
+    m = obs.get
+    return e.sparkSession.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_props"],
+                n_types,
+                m["min_event_id"],
+                m["max_event_id"],
+            )
+        ],
+        "n_rows bigint, n_null_props bigint, n_event_types bigint, min_event_id bigint, max_event_id bigint",
+    )
