@@ -425,3 +425,42 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr(_REV)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("tpch", "q12"),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority counts), adapted to the
+    synthetic schema: the testdata lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate, so the grouping key is
+    l_returnflag and the late-shipping predicate is shipdate >=
+    orderdate + 30 days — same plan shape as the canonical Q12
+    (fact-fact equi join, residual date predicate, conditional counts).
+
+    Scale: the orders⋈lineitem join shuffles both sides on orderkey
+    once (or goes exchange-free on bucketed tables); the CASE counts
+    fold map-side into a 3-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
