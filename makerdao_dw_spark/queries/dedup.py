@@ -14,7 +14,7 @@ reference):
 - n-gram Jaccard verification on the LSH candidates (exact similarity on
   the small candidate set, never all-pairs)
 - SimHash: 32-bit signature from per-token md5 bits, hamming-style
-  bucketing by 16-bit halves (Spark impl; rows-only check)
+  bucketing by 16-bit halves (full md5-rebuilt DuckDB oracle)
 """
 
 from __future__ import annotations

@@ -1,9 +1,10 @@
 """Multimodal-column queries: binary payload plumbing over `documents`.
 
-`multimodal_metadata` is fully oracle-checked (binary lengths + md5
-digests agree across engines). `multimodal_decode_stub` exercises the
-Arrow-batched mapInPandas decode stage (stubbed codecs — rows-only check;
-shape pinned by tests/test_extensions.py).
+All queries here are fully oracle-checked: metadata (binary lengths +
+md5 digests agree across engines), the Arrow-batched mapInPandas decode
+stage and frame sampler (the stub codecs' dimension math is
+SQL-expressible, so the oracle value-checks the mapInPandas output, not
+just its shape), and chunk-level CAS dedup.
 """
 
 from __future__ import annotations

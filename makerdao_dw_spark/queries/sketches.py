@@ -8,9 +8,12 @@ reference delegates all aggregation to its warehouse; at our target
 scale these are the operators that replace "COUNT(DISTINCT) over the
 whole history" jobs.
 
-All three queries are **rows-only** for the driver (DuckDB has no
-DataSketches build), with accuracy and merge-consistency pinned by
-`tests/test_sketches.py`:
+DuckDB has no DataSketches build, so the REGISTERED surfaces emit exact
+companions + in-tolerance booleans (fully oracle-checkable: the oracle
+computes exact values and literal TRUEs; a sketch regression beyond
+tolerance flips a cell and fails the hash). The raw estimate queries
+live on as `*_raw` functions, with accuracy and merge-consistency
+pinned by `tests/test_sketches.py`:
 
 - HLL union-of-parts estimate == sketch-of-whole estimate (register
   max-merge is exact, order-independent), and within 2% of exact
