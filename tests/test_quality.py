@@ -83,3 +83,43 @@ def test_observed_metrics_free_with_export(spark):
     exact_neg = o.filter(F.col("o_totalprice") < 0).count()
     assert got["not_null(o_custkey)"] == exact_null
     assert got["in_range(o_totalprice)"] == exact_neg
+
+
+def test_lsh_bucket_cap_bounds_pathological_corpus(spark, tmp_path):
+    """The guard scenario itself: thousands of near-identical docs land
+    in the same band buckets; without the cap the in-bucket pair
+    expansion is quadratic (2000 docs -> ~2M pairs per bucket). With
+    the production cap the oversized buckets are EXCLUDED from pair
+    expansion (bounded output) while the overflow side-channel reports
+    them — nothing silently dropped."""
+    import pyspark.sql.functions as F
+
+    from makerdao_dw_spark.queries import dedup as D
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("identical boilerplate text repeated across the corpus many times over")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(70).cast("long").alias("n_chars"),
+    )
+    path = str(tmp_path)
+    docs.write.mode("overwrite").parquet(path + "/documents.parquet")
+
+    cap_orig = D.LSH_BUCKET_CAP
+    try:
+        D.LSH_BUCKET_CAP = 100  # force the guard to trigger at test size
+        pairs = D.dedup_minhash_lsh(spark, path)
+        n_pairs = pairs.count()
+        overflow = D.dedup_minhash_lsh_overflow(spark, path)
+        over_rows = overflow.collect()
+    finally:
+        D.LSH_BUCKET_CAP = cap_orig
+
+    # identical docs share ALL band buckets -> every bucket is over-cap:
+    # pair expansion must produce NOTHING instead of ~2M pairs/bucket...
+    assert n_pairs == 0, n_pairs
+    # ...and the overflow channel must report each full bucket
+    assert over_rows, "overflow side-output must surface the capped buckets"
+    assert all(r.bucket_size == n for r in over_rows), over_rows[:3]
