@@ -47,12 +47,44 @@ def main(argv: list[str] | None = None) -> int:
     blk.add_argument("--to-block", type=int, default=2000)
     blk.add_argument("--step", type=int, default=500)
 
+    qry = sub.add_parser(
+        "query", help="run a registered analytics query (see `query --list`)"
+    )
+    qry.add_argument("name", nargs="?", help="query name from the registry")
+    qry.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qry.add_argument("--out", help="write result parquet here instead of printing")
+    qry.add_argument("--limit", type=int, default=20, help="rows to print (no --out)")
+    qry.add_argument("--list", action="store_true", help="list registered queries")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        from .queries import REGISTRY
+
+        for name in sorted(REGISTRY):
+            print(name)
+        return 0
+    if args.cmd == "query" and not args.name:
+        raise SystemExit("query: provide a name or --list")
 
     from .session import get_spark
 
     spark = get_spark("makerdao-dw-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        from .queries import queries_dict
+
+        qs = queries_dict()
+        if args.name not in qs:
+            raise SystemExit(f"unknown query {args.name!r}; see `query --list`")
+        df = qs[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"query": args.name, "rows": spark.read.parquet(args.out).count(), "out": args.out}))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "blocks":
         from .ingest.fixtures import maker_chain

@@ -92,3 +92,11 @@ def test_cli_ingest_end_to_end(spark, tmp_path):
     assert glob.glob(str(out / "makermcd" / "vat_call_frob" / "block_range=*"))
     frob = spark.read.parquet(str(out / "makermcd" / "vat_call_frob"))
     assert frob.count() > 0
+
+
+def test_cli_query_list_and_run(capsys):
+    from makerdao_dw_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "topk_orders" in out and len(out) >= 150
