@@ -58,3 +58,72 @@ def bfs_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), "dist")
         .orderBy("part")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (graph clustering structure)
+# --------------------------------------------------------------------------
+@query(
+    "graph_triangle_counts",
+    oracle="""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+), e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT e1.s AS x, e1.t AS y, e2.t AS z
+    FROM e e1
+    JOIN e e2 ON e2.s = e1.t
+    JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+), corners AS (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY n_triangles DESC, node LIMIT 50
+""",
+    tags=("graph", "triangles"),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the co-purchase graph
+    (thinned to partkey % 10 to keep the demo subgraph honest): the
+    canonical edge-orientation algorithm — orient every edge s<t, then
+    triangles are the closure join e1(s,t) ⋈ e2(t,z) ⋈ e3(s,z), which
+    counts each triangle exactly once.
+
+    100 TB notes: orientation (degree- or id-based) is THE trick —
+    un-oriented triangle joins count each triangle 6x and explode on
+    high-degree nodes. The two joins shuffle on node keys; the standard
+    production refinement (orient by DEGREE, so high-degree nodes get
+    low out-degree) drops the worst-case join fan-out to O(m^1.5)."""
+    configure(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")))
+        .select(F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z"))
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(50)
+    )
