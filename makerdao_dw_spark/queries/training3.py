@@ -491,3 +491,54 @@ def corpus_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Group-aware split (leakage-free: whole provenance groups share a split)
+# --------------------------------------------------------------------------
+@query(
+    "split_group_aware",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, source, n_chars,
+           CAST(('0x' || substr(md5('gsplit:' || source), 1, 8)) AS BIGINT) % 100 AS h
+    FROM documents
+)
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM g
+GROUP BY 1, 2
+ORDER BY split, source
+""",
+    tags=("training-prep", "split", "leakage"),
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 split: the hash key is the provenance GROUP
+    (source), not the document, so every doc sharing a source lands in
+    the same split — the leakage guard per-doc splits lack (near-dups
+    inside one crawl domain can otherwise straddle train and test). The
+    split stays a pure map-side function of the data; the only shuffle
+    is the reporting rollup. Compare `split_train_val_test`, the per-doc
+    variant: same mechanism, different key, complementary guarantees
+    (per-doc = exact proportions, per-group = no cross-split leakage)."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    h = (
+        F.expr(
+            "cast(conv(substring(md5(concat('gsplit:', source)), 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    return (
+        d.withColumn(
+            "split",
+            F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
