@@ -101,6 +101,7 @@ DOUBLE_CAST: dict[str, tuple[str, ...]] = {
     "rollup_returnflag": ("sum_qty",),
     "salted_skew_aggregate": ("total",),
     "session_window_batch": ("total_value",),
+    "streaming_hopping_counts": ("total_value",),
     "streaming_static_join": ("total_value",),
     "streaming_windowed_counts": ("total_value",),
     "table_diff_snapshot": ("sum_price_v1", "sum_price_v2"),

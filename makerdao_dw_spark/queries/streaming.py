@@ -40,6 +40,40 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_hopping_counts",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, MIN(ts)) AS t0, MAX(ts) AS t1 FROM events
+), starts AS (
+  SELECT UNNEST(generate_series(
+           (SELECT t0 FROM bounds) - INTERVAL 30 MINUTE,
+           (SELECT t1 FROM bounds),
+           INTERVAL 30 MINUTE)) AS w_start
+), hits AS (
+  SELECT s.w_start, e.event_type, e.value
+  FROM events e JOIN starts s
+    ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 60 MINUTE
+)
+SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_value
+FROM hits
+GROUP BY w_start, event_type
+ORDER BY w_start, event_type
+""",
+    tags=("streaming", "hopping-window", "watermark"),
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `hopping_window_counts`: the same 60/30-minute
+    multi-assign windows computed by Structured Streaming with a 1-hour
+    watermark (state keyed by (window, type), bounded by the watermark) —
+    completing the streaming window family: tumbling, session, hopping."""
+    from ..streaming.jobs import run_hopping_counts
+
+    return run_hopping_counts(spark, sf_dir)
+
+
+@query(
     "streaming_session_windows",
     oracle="""
 WITH flagged AS (

@@ -80,6 +80,31 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+def run_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 60-minute windows every 30 minutes on the event
+    stream, 1-hour watermark: each event enters 2 windows (multi-assign
+    generate, state keyed by (window, type))."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("w_start", "event_type")
+
+
 def run_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (4h inactivity) per user via
     ``session_window`` — the built-in streaming sessionization operator.
