@@ -232,3 +232,33 @@ def test_schema_evolution_abi_upgrade(spark, tmp_path):
     # plain read of one generation still prunes to its own columns
     old_only = merged.filter(F.col("data_raw").isNull())
     assert old_only.count() == 5
+
+
+def test_load_table_normalizes_every_parquet_timestamp_flavor(spark, tmp_path):
+    """The driver's testdata has shipped TIMESTAMP(NANOS) (r1) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (r2+); plain UTC micros is
+    the third plausible flavor. load_table must surface ALL of them as
+    plain TimestampType with identical wall-clock values — the r2 bench/
+    correctness breakage class, pinned."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from makerdao_dw_spark.session import load_table
+
+    ts = [dt.datetime(2024, 1, 30, 12, 34, 56, 789000), dt.datetime(2024, 6, 1, 0, 0, 0)]
+    flavors = {
+        "micros_ntz": pa.timestamp("us"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+        "nanos_ntz": pa.timestamp("ns"),
+    }
+    for name, typ in flavors.items():
+        tbl = pa.table({"ts": pa.array(ts, type=typ), "events_id": [1, 2]})
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert got == sorted(ts), (name, got)
