@@ -908,3 +908,115 @@ def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling PER STRATUM (A-Res inside each group)
+# --------------------------------------------------------------------------
+@query(
+    "weighted_sample_per_priority",
+    oracle="""
+WITH keyed AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           LN((((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967297.0)
+               / (o_totalprice / 1000.0) AS es_key
+    FROM orders
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY es_key DESC, o_orderkey) AS rk
+    FROM keyed
+)
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice, ROUND(es_key, 9) AS es_key
+FROM ranked WHERE rk <= 20
+ORDER BY o_orderpriority, rk
+""",
+    tags=("sampling", "weighted", "stratified", "efraimidis-spirakis"),
+)
+def weighted_sample_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the same
+    hash-uniform Efraimidis-Spirakis key as `weighted_sample_orders`,
+    ranked INSIDE each order priority — k weighted picks per stratum in
+    one pass (class-balanced weighted subsampling).
+
+    Scale shape: one hash exchange on the stratum key; Spark plans the
+    rank<=k filter as WindowGroupLimit, so each reducer keeps a k-row
+    heap per group instead of materializing and sorting whole strata —
+    the per-group analog of TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(4294967297.0)
+    es_key = F.log(u) / (F.col("o_totalprice") / F.lit(1000.0))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("es_key_raw").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice", es_key.alias("es_key_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("es_key_raw", 9).alias("es_key"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Discrete percentiles (percentile_disc: an ACTUAL value at the rank,
+# never interpolated — the ordered-set aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "percentile_disc_battery",
+    oracle="""
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS DOUBLE) AS p50_disc,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN o_totalprice END) AS DOUBLE) AS p90_disc,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS DOUBLE) AS p99_disc
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("percentile", "ordered-set", "disc"),
+)
+def percentile_disc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc semantics (SQL ordered-set aggregate): the value
+    at rank ceil(p*n) — an ACTUAL data value, never an interpolation
+    (the companion to percentile_order_values' percentile_cont). Both
+    engines compute it from the same row_number/count formulation, so
+    ties and rank edges agree exactly.
+
+    Scale shape: one hash exchange on the group key shared by both
+    windows and the final aggregate — rank assignment and the rollup
+    never re-shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def disc(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).cast("double").alias(name)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(disc(0.5, "p50_disc"), disc(0.9, "p90_disc"), disc(0.99, "p99_disc"))
+        .orderBy("o_orderpriority")
+    )
