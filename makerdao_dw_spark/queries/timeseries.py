@@ -647,3 +647,48 @@ def regression_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window distinct count (7-day rolling active users)
+# --------------------------------------------------------------------------
+@query(
+    "trailing_7d_distinct_users",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+    SELECT DISTINCT d FROM du
+), contrib AS (
+    SELECT days.d, du.user_id
+    FROM days JOIN du ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+)
+SELECT CAST(d AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS active_7d
+FROM contrib GROUP BY d ORDER BY day
+""",
+    tags=("timeseries", "rolling-distinct", "dau"),
+)
+def trailing_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric windowed
+    SUMs can't give (distinct does not decompose over a sliding frame).
+
+    Formulation: collapse events to distinct (day, user) FIRST (the
+    fact-sized shuffle), then explode each day-user into the <=7 report
+    days it contributes to and count distinct per day. The explode
+    multiplies the DEDUPLICATED day-user pairs (|users|x|days| scale),
+    never raw events — at 100 TB that's the difference between 7x a
+    small rollup and 7x the fact table. (The sketch alternative — daily
+    HLL + 7-way merge — is sketch_hll_daily_active's pattern; this is
+    the exact path.)"""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("day"), "user_id")
+    report_days = du.select("d").distinct()
+    return (
+        contrib.join(report_days, contrib.day == report_days.d)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
