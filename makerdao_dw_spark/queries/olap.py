@@ -1020,3 +1020,57 @@ def percentile_disc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(disc(0.5, "p50_disc"), disc(0.9, "p90_disc"), disc(0.99, "p99_disc"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnosis: per-key cardinality profile (run BEFORE picking salts)
+# --------------------------------------------------------------------------
+@query(
+    "skew_profile_events",
+    oracle="""
+WITH kc AS (
+    SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY event_type
+), stats AS (
+    SELECT COUNT(*) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(MIN(n) AS BIGINT) AS min_n,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           ROUND(quantile_cont(CAST(n AS DOUBLE), 0.5), 4) AS median_n
+    FROM kc
+)
+SELECT n_keys, max_n, min_n, total_n, median_n,
+       ROUND(max_n / median_n, 6) AS skew_factor,
+       ROUND(CAST(max_n AS DOUBLE) / total_n, 6) AS top_key_share
+FROM stats
+""",
+    tags=("skew", "diagnosis", "ops"),
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-salting diagnosis: per-key row counts reduced to the
+    numbers that decide a join/agg strategy — skew factor (hottest key
+    vs median) and the hottest key's share of all rows. skew_factor ~ 1
+    => plain hash partitioning is fine; >> 1 => salt the hot keys or
+    rely on AQE skew-join (see salted_skew_aggregate for the fix this
+    query tells you to apply).
+
+    Scale shape: the key-count rollup is the only fact-sized shuffle;
+    the profile reduces |keys| rows to one. At 100 TB you run this on a
+    sample or on the partial-agg output — same plan."""
+    e = _t(spark, sf_dir, "events")
+    kc = e.groupBy(F.col("event_type").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.round(F.expr("percentile(cast(n as double), 0.5)"), 4).alias("median_n"),
+    )
+    return stats.select(
+        "n_keys",
+        "max_n",
+        "min_n",
+        "total_n",
+        "median_n",
+        F.round(F.col("max_n") / F.col("median_n"), 6).alias("skew_factor"),
+        F.round(F.col("max_n").cast("double") / F.col("total_n"), 6).alias("top_key_share"),
+    )
