@@ -448,3 +448,53 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "near_dup_rate_by_source",
+    oracle=f"""{_LSH_BANDS_CTE},
+small AS (
+    SELECT band, h FROM bands GROUP BY band, h
+    HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    JOIN small s ON a.band = s.band AND a.h = s.h
+)
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_candidate_pairs
+FROM pairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_x, source_y
+""",
+    tags=("dedup", "lsh", "curation", "provenance"),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the near-duplicates COME FROM: LSH candidate pairs joined
+    back to both documents' provenance, rolled up per unordered source
+    pair — the curation signal that finds mirror domains (heavy
+    cross-source cells) vs boilerplate-within-crawl (diagonal cells).
+
+    Scale shape: pairs are the (already capped) LSH output; the two
+    metadata joins hit the slim (doc_id, source) projection — broadcast
+    at dimension size, hash join on the uniform doc key otherwise; the
+    rollup is |source-pairs|-sized."""
+    configure(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents", spread=False).select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        .orderBy("source_x", "source_y")
+    )
