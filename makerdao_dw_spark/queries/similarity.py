@@ -367,3 +367,53 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.2)
         .orderBy("list_id", "vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (element-wise vector mean, exact)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_centroids_long",
+    oracle="""
+WITH comp AS (
+    SELECT label, u.i - 1 AS pos,
+           CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(38,12)) AS x
+    FROM embeddings, LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) u
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 9) AS centroid
+FROM comp
+GROUP BY label, pos
+ORDER BY label, pos
+""",
+    tags=("similarity", "centroid", "vector-agg"),
+)
+def embedding_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids (element-wise vector mean over the
+    first 8 dimensions, long form): the aggregation behind IVF coarse
+    quantizers, class prototypes, and dataset-cartography drift checks.
+    Components are cast to DECIMAL(38,12) before summing, so the mean is
+    exact and order-independent (float vector sums are not); the mean is
+    derived as one deterministic double division at the end.
+
+    Scale shape: posexplode is a narrow generate emitting (label, pos,
+    component); ONE hash exchange on (label, pos) with map-side partial
+    decimal sums — the shuffle carries scalars, never vectors. The full
+    64-dim centroid is the same plan with pos unrestricted."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    comp = e.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "c")
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("c").cast("double").cast("decimal(38,12)").alias("x"),
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 9).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
