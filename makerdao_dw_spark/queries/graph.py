@@ -110,6 +110,12 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
         .distinct()
     )
+    # the edge set feeds THREE join arms: materialize it once (lineage
+    # cut, reliable-checkpoint-aware) instead of relying on partial AQE
+    # exchange reuse across the replicated subtrees
+    from ..operators.graph import _cut_lineage
+
+    e = _cut_lineage(e)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.s") == F.col("e1.t"))
