@@ -95,8 +95,20 @@ def zorder_expr(cols: list[str], bits: int = 16) -> str:
 
     Pure Catalyst bit arithmetic (shiftleft/shiftright/bitwise or) —
     codegen'd, no UDF; cost is bits*|cols| ops per row, map-side.
+
+    bits * len(cols) must stay <= 63: the top interleaved bit position
+    is bits*n - 1, and position 63 is the bigint sign bit (a negative z
+    breaks the sort order) while positions > 63 silently wrap.
     """
     n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_expr needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds 63: the interleaved value "
+            f"would overflow the non-negative bigint range; use bits<={63 // n} "
+            f"for {n} columns"
+        )
     terms = []
     for j, c in enumerate(cols):
         # clamp to [0, 2^bits): callers pass small naturals or pre-ranked values

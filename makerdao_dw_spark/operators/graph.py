@@ -25,8 +25,6 @@ data ever reaches the driver except the 1-row convergence count.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,11 +32,15 @@ from pyspark.sql import functions as F
 def _cut_lineage(df: DataFrame) -> DataFrame:
     """Truncate the plan: reliable checkpoint when a checkpoint dir is
     configured (cluster-survivable), localCheckpoint otherwise (fast,
-    executor-local — fine for local[*] tests)."""
+    executor-local — fine for local[*] tests).
+
+    The checkpoint dir itself is configured in `session.configure`
+    (SPARK_GRAFT_CHECKPOINT_DIR) — never mutated here; and sessions built
+    by `session.get_spark` enable
+    spark.cleaner.referenceTracking.cleanCheckpoints so per-round
+    checkpoints are GC'd once unreferenced instead of accumulating for
+    the lifetime of a multi-hour job."""
     sc = df.sparkSession.sparkContext
-    env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if env_dir and not sc.getCheckpointDir():
-        sc.setCheckpointDir(env_dir)
     if sc.getCheckpointDir():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

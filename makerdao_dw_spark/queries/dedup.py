@@ -180,6 +180,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_minhash_lsh_overflow` — counted, never silently dropped.
     Bucket keys are 128-bit md5 band hashes — uniform, skew-free;
     the cap also bounds each collect_list buffer."""
+    return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted candidate pairs (doc_a < doc_b, n_shared_bands) from the
+    capped bucket expansion — shared by dedup_minhash_lsh (which adds the
+    presentation sort) and dedup_ngram_jaccard (which joins on the pairs
+    and must not inherit a useless pre-join sort)."""
     buckets = _lsh_buckets(spark, sf_dir).filter(
         (F.size("ds") > 1) & (F.size("ds") <= LSH_BUCKET_CAP)
     )
@@ -192,52 +200,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
+
+
+# Demo reporting threshold for the skew monitor: buckets above this size
+# are REPORTED (with an over_production_cap flag saying whether they were
+# actually excluded from pair expansion by LSH_BUCKET_CAP). 2 keeps the
+# monitor non-vacuous on testdata, where the largest bucket is ~4; the
+# same constant drives BOTH the Spark query and its DuckDB oracle so the
+# two can never drift.
+DEMO_OVERFLOW_CAP = 2
 
 
 @query(
     "dedup_minhash_lsh_overflow",
-    # cap=2 here (vs the production LSH_BUCKET_CAP=1000) so the guard
-    # path produces real rows on testdata and gets a real hash check.
     oracle=f"""{_LSH_BANDS_CTE}
-SELECT band, h, COUNT(*) AS bucket_size
-FROM bands GROUP BY band, h HAVING COUNT(*) > 2
+SELECT band, h, COUNT(*) AS bucket_size,
+       CASE WHEN COUNT(*) > {LSH_BUCKET_CAP} THEN TRUE ELSE FALSE END
+           AS over_production_cap
+FROM bands GROUP BY band, h HAVING COUNT(*) > {DEMO_OVERFLOW_CAP}
 ORDER BY band, h
 """,
     tags=("dedup", "minhash", "lsh", "skew-guard"),
 )
 def dedup_minhash_lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counted side-output of the LSH bucket-size guard: every band
-    bucket whose membership exceeds the cap (demonstrated at cap=2; the
-    production pair expansion uses LSH_BUCKET_CAP=1000). At 100 TB this
-    is the skew monitor — a spike here means a boilerplate/near-identical
-    cluster that should be routed to exact-hash dedup instead of
-    quadratic pair expansion. (Demo threshold 2 keeps the check
-    non-vacuous on testdata, where the largest bucket is 4.)"""
+    bucket larger than DEMO_OVERFLOW_CAP, with `over_production_cap`
+    recording whether the bucket exceeded LSH_BUCKET_CAP and was
+    therefore actually EXCLUDED from `dedup_minhash_lsh`'s pair
+    expansion. At 100 TB this is the skew monitor — a spike here means
+    a boilerplate/near-identical cluster that should be routed to
+    exact-hash dedup instead of quadratic pair expansion; rows with
+    over_production_cap = TRUE are a faithful audit of what the pair
+    expansion dropped (never silently)."""
     return (
         _lsh_buckets(spark, sf_dir)
-        .filter(F.size("ds") > 2)
-        .select("band", "h", F.size("ds").cast("long").alias("bucket_size"))
+        .filter(F.size("ds") > DEMO_OVERFLOW_CAP)
+        .select(
+            "band",
+            "h",
+            F.size("ds").cast("long").alias("bucket_size"),
+            (F.size("ds") > LSH_BUCKET_CAP).alias("over_production_cap"),
+        )
         .orderBy("band", "h")
     )
 
 
-_JACCARD_ORACLE = f"""
-WITH sh AS (
+# Exact-verify stage keyed on LSH candidate pairs (equi-joins only): the
+# candidate CTE is the SAME formulation as dedup_minhash_lsh's oracle, so
+# the two registered queries form one coherent pipeline.
+_JACCARD_ORACLE = f"""{_LSH_BANDS_CTE},
+small AS (
+    SELECT band, h FROM bands GROUP BY band, h
+    HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    JOIN small s ON a.band = s.band AND a.h = s.h
+    GROUP BY a.doc_id, b.doc_id
+), sh AS (
     SELECT doc_id, list_distinct({_D_SHINGLES}) AS sset FROM documents
-), pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sset AS sa, b.sset AS sb
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id % 50 = 0
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
-FROM pairs
-WHERE len(list_intersect(sa, sb)) > 0
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
+             6) AS jaccard
+FROM cand c
+JOIN sh a ON c.doc_a = a.doc_id
+JOIN sh b ON c.doc_b = b.doc_id
+WHERE len(list_intersect(a.sset, b.sset)) > 0
 ORDER BY doc_a, doc_b
 """
 
@@ -248,21 +282,26 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard for a probe subset (doc_id % 50 = 0) vs all.
+    """Exact shingle-set Jaccard VERIFY over the MinHash-LSH candidate
+    pairs — the second stage of the near-dup pipeline: LSH proposes
+    (`dedup_minhash_lsh`), this confirms with the exact set measure.
 
-    At scale this stage runs only on LSH candidates; the probe subset here
-    keeps the oracle O(N) while exercising the exact-verify operator.
-    """
+    Every join is an equi-join: candidate pairs (doc_a, doc_b) come from
+    the bucketed LSH stage (one hash exchange, capped expansion), then
+    two hash joins attach the shingle sets by doc_id. No inequality-only
+    (theta) join anywhere — at 100 TB the cost is |candidates| * set
+    intersection, never O(N^2). (A brute-force probe variant lives in
+    tests/ as the oracle-of-the-oracle.)"""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     sh = d.select("doc_id", F.array_distinct(shingles_expr("text")).alias("sset"))
-    a = sh.filter(F.col("doc_id") % 50 == 0).alias("a")
-    b = sh.alias("b")
+    cand = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sh.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sh.alias("b"), cand.doc_b == F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(
                 inter.cast("double") / (F.size("a.sset") + F.size("b.sset") - inter),
                 6,

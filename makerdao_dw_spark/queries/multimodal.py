@@ -137,7 +137,7 @@ WITH payload AS (
            i AS chunk_idx,
            md5(substr(p, CAST(i * 256 + 1 AS BIGINT), 256)) AS digest,
            octet_length(encode(substr(p, CAST(i * 256 + 1 AS BIGINT), 256))) AS chunk_bytes
-    FROM payload, UNNEST(generate_series(0, CAST(CEIL(length(p) / 256.0) AS BIGINT) - 1)) AS t(i)
+    FROM payload, UNNEST(generate_series(0, GREATEST(CAST(CEIL(length(p) / 256.0) AS BIGINT), 1) - 1)) AS t(i)
 )
 SELECT media_type,
        COUNT(*) AS total_chunks,
@@ -176,7 +176,13 @@ def multimodal_chunk_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "media_type",
         F.explode(
-            F.sequence(F.lit(0), (F.ceil(F.length("p") / 256.0)).cast("long") - 1)
+            # greatest(...,1) guards the zero-length payload: sequence(0,-1)
+            # would DESCEND ([0,-1]) in Spark while DuckDB generate_series
+            # yields no rows — clamp so both engines emit exactly one chunk
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.ceil(F.length("p") / 256.0)).cast("long"), F.lit(1)) - 1,
+            )
         ).alias("chunk_idx"),
         F.col("p"),
     ).select(

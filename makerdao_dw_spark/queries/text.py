@@ -217,7 +217,7 @@ WITH chars AS (
     SELECT doc_id, n_chars_txt,
            list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
                        (h, c) -> (h * 257 + c) % 2147483647) AS full_hash,
-           list_transform(generate_series(0, CAST(CEIL(len(cs) / 64.0) AS BIGINT) - 1),
+           list_transform(generate_series(0, GREATEST(CAST(CEIL(len(cs) / 64.0) AS BIGINT), 1) - 1),
                           b -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[(b*64+1):(b*64+64)]),
                                            (h, c) -> (h * 257 + c) % 2147483647)) AS block_hashes
     FROM chars
@@ -249,7 +249,9 @@ def doc_rolling_hash_rabin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))",
         "struct("
         f" aggregate({{x}}, cast(0 as bigint), {fold}) AS full_hash,"
-        " transform(sequence(0, cast(ceil(size({x}) / 64.0) as bigint) - 1),"
+        # greatest(...,1): Spark sequence(0,-1) DESCENDS for empty text while
+        # DuckDB generate_series(0,-1) is empty — clamp to one (empty) block
+        " transform(sequence(0, greatest(cast(ceil(size({x}) / 64.0) as bigint), 1) - 1),"
         f"  b -> aggregate(slice({{x}}, b*64+1, 64), cast(0 as bigint), {fold})) AS block_hashes"
         ")",
     )

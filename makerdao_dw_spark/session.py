@@ -62,6 +62,12 @@ def get_spark(app_name: str = "makerdao-dw-spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # GC reliable checkpoints once their RDD is unreferenced: iterative
+        # operators (connected components, BFS) cut lineage with
+        # df.checkpoint() ~2x per round — without the cleaner a multi-hour
+        # 100 TB job accumulates unbounded checkpoint data in the dir.
+        # Must be set at context build (ContextCleaner reads it once).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()
 
@@ -114,6 +120,14 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(max(spark.sparkContext.defaultParallelism, 8))
     )
+    # Reliable-checkpoint dir for iterative operators (graph.py): an env
+    # var so the driver harness's vanilla session can opt in without code.
+    # Set HERE (the explicit session-configuration step), not inside the
+    # operators — mutating global context state from a per-call helper
+    # hides the side effect.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     ship_package(spark)
     return spark
 

@@ -61,6 +61,33 @@ def test_minhash_lsh_finds_constructed_dupes(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ngram_jaccard_matches_bruteforce_on_candidates(spark):
+    """Brute-force probe oracle for the registered LSH-keyed exact
+    verify: on sf0.001 every candidate pair's jaccard must equal the
+    O(N^2) python set computation over the same shingle sets."""
+    from makerdao_dw_spark.operators.text_features import shingles_expr
+    from makerdao_dw_spark.queries.dedup import dedup_ngram_jaccard
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ssets = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select(
+            "doc_id", F.array_distinct(shingles_expr("text")).alias("s")
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert got, "sf0.001 corpus must contain LSH candidate pairs"
+    for (a, b), j in got.items():
+        sa, sb = ssets[a], ssets[b]
+        inter = len(sa & sb)
+        assert inter > 0
+        expect = round(inter / (len(sa) + len(sb) - inter), 6)
+        assert abs(j - expect) < 1e-9, (a, b, j, expect)
+
+
 def test_multimodal_decode_shapes(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
     decoded = decode_media(attach_fake_payload(docs))
@@ -193,6 +220,24 @@ def test_zorder_expr_matches_python_morton(spark):
     )
     for r in df.collect():
         assert r.z == morton(r.x, r.y), (r.x, r.y, r.z, morton(r.x, r.y))
+
+
+def test_zorder_expr_rejects_sign_bit_overflow():
+    """bits*len(cols) > 63 would put interleaved bits at/past the bigint
+    sign bit (negative z breaks the sort order; >63 silently wraps) —
+    must raise, not corrupt the Morton ordering."""
+    import pytest
+
+    from makerdao_dw_spark.io.layout import zorder_expr
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_expr(["a", "b", "c", "d"], bits=16)  # top bit at 63 = sign
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_expr(["a", "b", "c", "d", "e"], bits=16)  # silent wrap
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_expr(["a"], bits=8)
+    # boundary: 63 interleaved bits exactly is fine (top position 62)
+    assert zorder_expr(["a", "b", "c"], bits=21)
 
 
 def test_srp_bucket_matches_numpy_reference(spark):

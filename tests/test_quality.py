@@ -123,3 +123,5 @@ def test_lsh_bucket_cap_bounds_pathological_corpus(spark, tmp_path):
     # ...and the overflow channel must report each full bucket
     assert over_rows, "overflow side-output must surface the capped buckets"
     assert all(r.bucket_size == n for r in over_rows), over_rows[:3]
+    # the audit flag must agree with the guard that actually dropped them
+    assert all(r.over_production_cap for r in over_rows), over_rows[:3]

@@ -56,19 +56,27 @@ def canon(cols, rows):
     return sorted(c for c in cols), out
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    """Optional argv: `--no-entry` skips the entry() smoke; any other
+    args are query-name substrings — only matching queries run (the
+    quick-iteration / per-commit-gate mode)."""
     import __spark_entry__ as entrymod
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    run_entry = "--no-entry" not in argv
+    name_filters = [a for a in argv if not a.startswith("--")]
 
     spark = SparkSession.builder.master("local[8]").appName("drive-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    df1 = entrymod.entry(spark)
-    schema1 = df1.schema.simpleString()
-    n1 = len(df1.collect())
-    df2 = entrymod.entry(spark)
-    assert n1 > 0, "entry() returned 0 rows"
-    assert df2.schema.simpleString() == schema1, "entry() schema unstable"
-    print(f"entry() OK: {n1} rows, schema stable")
+    if run_entry:
+        df1 = entrymod.entry(spark)
+        schema1 = df1.schema.simpleString()
+        n1 = len(df1.collect())
+        df2 = entrymod.entry(spark)
+        assert n1 > 0, "entry() returned 0 rows"
+        assert df2.schema.simpleString() == schema1, "entry() schema unstable"
+        print(f"entry() OK: {n1} rows, schema stable")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -78,6 +86,14 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if name_filters:
+        queries = {
+            n: f for n, f in queries.items()
+            if any(s in n for s in name_filters)
+        }
+        if not queries:
+            print(f"no queries match filters {name_filters}")
+            return 2
     failures = []
     t_start = time.time()
     for i, (name, fn) in enumerate(sorted(queries.items())):
