@@ -196,16 +196,26 @@ def demux_and_write(
     out_dir: str,
     schema_name: str,
     partition_blocks: int = 1_000_000,
+    table_parallelism: int = 8,
 ) -> dict[str, int]:
     """Topic dispatch (A7) + decode (A8/A9) + partitioned parquet sink
     (A12/A13). Unknown topics are dropped (fixes the reference's
-    stale-dispatch bug). Returns rows written per table."""
+    stale-dispatch bug). Returns rows written per table.
+
+    Per-table decode+write jobs are submitted CONCURRENTLY from a thread
+    pool: each table's job is independent (distinct topic filter,
+    distinct output path), and a contract warehouse has hundreds of
+    mostly-small tables (the reference compiles 412), so a sequential
+    loop serializes hundreds of fixed per-job overheads while the
+    cluster idles. The cached raw frame is materialized ONCE up front so
+    concurrent jobs read the cache instead of racing to populate it."""
     spark = raw_logs.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     raw = raw_logs.persist()
     try:
-        counts: dict[str, int] = {}
-        for spec in specs:
+        raw.count()  # materialize the cache before fan-out
+
+        def one_table(spec: TableSpec) -> tuple[str, int]:
             decoded = decode_logs_for_table(raw, spec).withColumn(
                 "block_range", F.expr(f"block_number div {partition_blocks}")
             )
@@ -218,9 +228,15 @@ def demux_and_write(
                 # reference instead pre-creates empty tables via DDL
                 if n > 0:
                     decoded.write.mode("overwrite").partitionBy("block_range").parquet(path)
-                counts[spec.table] = n
+                return spec.table, n
             finally:
                 decoded.unpersist()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(table_parallelism, len(specs)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            counts = dict(pool.map(one_table, specs))
         return counts
     finally:
         raw.unpersist()

@@ -28,11 +28,23 @@ def stream_table(
     """Open a testdata table as a file-stream (micro-batch) DataFrame."""
     configure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{name}.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file-stream source does NOT recurse into subdirectories: a
+    # table shipped as ONE file (driver testdata) is globbed out of
+    # sf_dir, but a table written as a part-file DIRECTORY (our scaled
+    # corpora, any Spark-written table) must be watched directly with a
+    # part-file glob or the stream silently drains 0 rows.
+    if os.path.isdir(path):
+        reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+    else:
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", f"{name}.parquet"
+        )
+        path = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(path)
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))

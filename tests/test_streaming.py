@@ -297,3 +297,20 @@ def test_rocksdb_state_store_matches_default(spark):
         else:
             spark.conf.set(key, prev)
     assert sorted(base) == sorted(rocks)
+
+
+def test_stream_table_reads_directory_shaped_tables(spark, tmp_path):
+    """Scaled/production corpora ship tables as part-file DIRECTORIES
+    (name.parquet/part-*.parquet); the file-stream source does not
+    recurse, so before the round-4 fix stream_table silently drained 0
+    rows from them. Both layouts must yield the full table."""
+    from makerdao_dw_spark.streaming.sources import stream_table
+    from makerdao_dw_spark.streaming.jobs import _drain
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = src.count()
+    d = str(tmp_path / "scaled")
+    src.repartition(4).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = _drain(stream_table(spark, d, "events").groupBy().count(), "complete")
+    assert got.collect()[0][0] == n
