@@ -369,7 +369,12 @@ ORDER BY l_orderkey, l_linenumber, component
 )
 def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long melt via stack() — the inverse of pivot, pure map-side
-    (row explosion x3, no shuffle until the final sort)."""
+    (row explosion x3, no shuffle until the final sort).
+
+    NULL cells are dropped (`amount IS NOT NULL`) to pin ONE melt
+    semantics across engines: DuckDB's UNPIVOT silently excludes NULL
+    cells while Spark's stack() keeps them — on any NULL charge column
+    the two would disagree on row count without the explicit filter."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     wide = li.select(
         "l_orderkey",
@@ -386,6 +391,7 @@ def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stack(3, 'base', base, 'discount_amt', discount_amt, 'tax_amt', tax_amt)"
             ).alias("component", "amount"),
         )
+        .filter(F.col("amount").isNotNull())
         .withColumn("amount", F.round("amount", 4))
         .orderBy("l_orderkey", "l_linenumber", "component")
     )
@@ -479,7 +485,7 @@ WITH s AS (
     SELECT event_type,
            COUNT(*) AS n,
            SUM(CAST(value AS DECIMAL(38,6))) AS s1,
-           SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS s2
+           SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
     FROM events GROUP BY event_type
 )
 SELECT event_type, n,
@@ -495,13 +501,22 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the built-in var_samp: power sums are the mergeable,
     order-independent form (how any distributed/streaming engine should
     compute moments), so the result is bit-deterministic under any
-    parallelism — the built-in double accumulation is not."""
+    parallelism — the built-in double accumulation is not.
+
+    The square is computed at DECIMAL(18,6): (18,6)x(18,6) -> (37,12)
+    fits under both engines' 38-digit cap, so the per-row product is
+    EXACT to all 12 decimal places. Squaring at (38,6) instead would
+    overflow the cap and make Spark round each product back to scale 6
+    (a silent 5e-7/row drift vs DuckDB's exact wider product) — the
+    precision budget IS the correctness contract here. |value| < 1e12
+    is the domain bound this buys it."""
     e = _t(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(38,6)")
+    v18 = F.col("value").cast("decimal(18,6)")
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
+        F.sum(v18 * v18).alias("s2"),
     )
     s1d, s2d, nd = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("n")
     var = (s2d - s1d * s1d / nd) / (nd - 1)
@@ -697,13 +712,24 @@ def recursive_cte_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
 # --------------------------------------------------------------------------
+# The A-Res key: u ~ U(0,1) from a Knuth multiplicative hash of the row
+# key (integer arithmetic -> bit-identical uniforms in any engine), then
+# ln(u)/w with w = o_totalprice/1000. ONE dialect-neutral definition
+# consumed by BOTH Spark (F.expr) and the DuckDB oracles of the two
+# weighted-sample queries — the cross-engine reproducibility contract
+# lives or dies on these constants staying in lockstep everywhere.
+_ES_KEY_SQL = (
+    "LN((((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967297.0)"
+    " / (o_totalprice / 1000.0)"
+)
+
+
 @query(
     "weighted_sample_orders",
-    oracle="""
+    oracle=f"""
 WITH keyed AS (
     SELECT o_orderkey, o_totalprice,
-           LN((((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967297.0)
-               / (o_totalprice / 1000.0) AS es_key
+           {_ES_KEY_SQL} AS es_key
     FROM orders
 )
 SELECT o_orderkey, o_totalprice, ROUND(es_key, 9) AS es_key
@@ -729,8 +755,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one scan, k rows out.
     """
     o = _t(spark, sf_dir, "orders")
-    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(4294967297.0)
-    es_key = F.log(u) / (F.col("o_totalprice") / F.lit(1000.0))
+    es_key = F.expr(_ES_KEY_SQL)
     return (
         o.select("o_orderkey", "o_totalprice", F.round(es_key, 9).alias("es_key"))
         .orderBy(F.col("es_key").desc(), F.col("o_orderkey"))
@@ -915,11 +940,10 @@ def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "weighted_sample_per_priority",
-    oracle="""
+    oracle=f"""
 WITH keyed AS (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
-           LN((((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967297.0)
-               / (o_totalprice / 1000.0) AS es_key
+           {_ES_KEY_SQL} AS es_key
     FROM orders
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -943,8 +967,7 @@ def weighted_sample_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap per group instead of materializing and sorting whole strata —
     the per-group analog of TakeOrderedAndProject."""
     o = _t(spark, sf_dir, "orders")
-    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(4294967297.0)
-    es_key = F.log(u) / (F.col("o_totalprice") / F.lit(1000.0))
+    es_key = F.expr(_ES_KEY_SQL)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("es_key_raw").desc(), "o_orderkey"
     )

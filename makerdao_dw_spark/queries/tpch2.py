@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..session import configure, load_table
 from .registry import query
+from .tpch_common import REV
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+_REV = REV  # single definition: tpch_common.py
 
 
 # --------------------------------------------------------------------------
@@ -316,14 +317,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_rich_customers",
     oracle="""
 WITH threshold AS (
-  SELECT AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS avg_bal
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_pos, COUNT(*) AS n_pos
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey,
        COUNT(*) AS n_custs,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_bal
 FROM customer, threshold
-WHERE c_acctbal > avg_bal
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > sum_pos
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -339,20 +340,28 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross input; the NOT EXISTS decorrelates to LEFT ANTI against only
     the o_custkey column of orders (column-pruned to the join key).
     Balance sums aggregate in DECIMAL(38,6) — c_acctbal is a double, so
-    per-row cast BEFORE SUM keeps the total order-independent."""
+    per-row cast BEFORE SUM keeps the total order-independent.
+
+    The above-average test is the multiplied-through exact form
+    `bal * n_pos > sum_pos` (same pattern as q11/q17/q20): comparing
+    against AVG() directly would cross representations — Spark
+    avg(decimal) yields DECIMAL(38,10) while DuckDB AVG(DECIMAL) is
+    DOUBLE — and a boundary customer could flip membership between
+    engines. No engine rounds inside a predicate."""
     c = _t(spark, sf_dir, "customer")
     o_keys = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    avg_bal = (
+    bal18 = F.col("c_acctbal").cast("decimal(18,6)")
+    pos_stats = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(F.col("c_acctbal").cast("decimal(38,6)")).alias("avg_bal"))
+        .agg(F.sum(bal18).alias("sum_pos"), F.count(F.lit(1)).alias("n_pos"))
     )
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.join(F.broadcast(pos_stats))
+        .filter(bal18 * F.col("n_pos") > F.col("sum_pos"))
         .join(o_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(

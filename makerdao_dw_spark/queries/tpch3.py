@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from ..session import configure, load_table
 from .registry import query
+from .tpch_common import REV
 
-_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+_REV = REV  # single definition: tpch_common.py
 # Profit proxy: no partsupp table in the driver schema, so supply cost
 # is modeled off p_retailprice. Double math FIRST (identical expression
 # order on both engines), one cast to exact decimal per row.

@@ -36,9 +36,10 @@ from pyspark.sql import functions as F
 
 from ..session import configure, load_table
 from .registry import query
+from .tpch_common import QTY, REV
 
-_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
-_QTY = "CAST(l_quantity AS DECIMAL(38,6))"
+_REV = REV  # single definition: tpch_common.py
+_QTY = QTY  # single definition: tpch_common.py
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
