@@ -16,15 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..session import configure, load_table
+from ..session import configure, load_table, query_table
 from .registry import query
 
 DEC = DecimalType(38, 6)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    configure(spark)
-    return load_table(spark, sf_dir, name)
+_t = query_table  # shared helper (session.py), was a per-module copy
 
 
 # --------------------------------------------------------------------------

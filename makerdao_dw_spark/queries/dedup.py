@@ -317,7 +317,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-WITH pairs AS (
+WITH nz AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+              (x, y) -> x + y) > 0
+), pairs AS (
     SELECT a.vec_id AS va, b.vec_id AS vb,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
                list_transform(generate_series(1, 64),
@@ -332,7 +338,7 @@ WITH pairs AS (
                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
                (x, y) -> x + y)))
            AS cos
-    FROM embeddings a JOIN embeddings b
+    FROM nz a JOIN nz b
       ON a.label = b.label AND a.vec_id <> b.vec_id
 ), nn AS (
     SELECT va AS vec_id, vb AS nn_id, ROUND(cos, 6) AS nn_cosine,
@@ -360,7 +366,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot_expr
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    en = e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+    # zero-norm vectors excluded: cosine undefined, and the division
+    # throws under Spark's default ANSI mode (oracle filters identically)
+    en = e.withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    ).filter(F.col("nrm") > 0)
     a = en.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("av"), F.col("nrm").alias("an")).alias("a")
     b = en.select(
         F.col("vec_id").alias("nn_id"),

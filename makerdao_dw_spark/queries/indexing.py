@@ -17,13 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure, load_table
+from ..session import configure, load_table, query_table
 from .registry import query
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    configure(spark)
-    return load_table(spark, sf_dir, name)
+_t = query_table  # shared helper (session.py), was a per-module copy
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

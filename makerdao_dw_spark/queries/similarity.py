@@ -55,15 +55,22 @@ def _cos_duck(a: str, b: str) -> str:
 _SIM_SPARK = _cos_spark("a.embedding", "b.embedding")
 _SIM_DUCK = _cos_duck("a.embedding", "b.embedding")
 
+# Zero-norm guard: cosine of an all-zero vector is undefined — dividing
+# by norm 0.0 THROWS under Spark 4's default ANSI mode (while DuckDB
+# returns inf/NaN rows), so every cosine query excludes degenerate
+# vectors explicitly ON BOTH ENGINES. A no-op on non-degenerate corpora.
+_NORM_POS_DUCK = f"{_dot_sql_duckdb('embedding', 'embedding')} > 0"
+
 
 @query(
     "ann_bruteforce_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+WITH nz AS (SELECT vec_id, embedding FROM embeddings WHERE {_NORM_POS_DUCK}),
+q AS (SELECT vec_id, embedding FROM nz WHERE vec_id % 100 = 0),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            {_cos_duck('q.embedding', 'c.embedding')} AS cosine
-    FROM q q JOIN embeddings c ON q.vec_id <> c.vec_id
+    FROM q q JOIN nz c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cosine, rk FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
@@ -81,17 +88,20 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N) instead of O(Q*N) norm evaluations; only the dot product is
     per-pair work)."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    nz = e.withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    ).filter(F.col("nrm") > 0)
     q = F.broadcast(
-        e.filter(F.col("vec_id") % 100 == 0).select(
+        nz.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("qn"),
+            F.col("nrm").alias("qn"),
         )
     )
-    c = e.select(
+    c = nz.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("cn"),
+        F.col("nrm").alias("cn"),
     )
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
@@ -109,10 +119,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_bucketed",
     oracle=f"""
+WITH nz AS (SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK})
 SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_SIM_DUCK} AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM nz a
+JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE a.vec_id % 25 = 0
   AND {_SIM_DUCK} >= 0.2
 ORDER BY bucket, vec_a, vec_b
@@ -123,7 +134,9 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style search: candidates restricted to the same coarse bucket
     (label = stand-in centroid assignment), probe subset vec_id % 25 = 0."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    en = e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+    en = e.withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    ).filter(F.col("nrm") > 0)
     a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
     b = en.alias("b")
     sim = F.round(
@@ -195,7 +208,7 @@ def _srp_bucket_duck(col: str) -> str:
     oracle=f"""
 WITH bucketed AS (
     SELECT vec_id, embedding, {_srp_bucket_duck('embedding')} AS bucket
-    FROM embeddings
+    FROM embeddings WHERE {_NORM_POS_DUCK}
 ), scored AS (
     SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
            {_SIM_DUCK} AS cosine
@@ -234,7 +247,7 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_srp_bucket_spark("embedding")).alias("bucket"),
         F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
     b = en.alias("b")
     sim = F.round(
@@ -266,7 +279,7 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT label,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(SQRT({_dot_sql_duckdb('embedding', 'embedding').replace('a.embedding', 'embedding')}), 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+       CAST(SUM(CAST(ROUND(SQRT({_dot_sql_duckdb('embedding', 'embedding')}), 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm
 FROM embeddings
 GROUP BY label
 ORDER BY label
@@ -295,6 +308,7 @@ WITH scaled AS (
     SELECT vec_id,
            127.0 / list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale
     FROM embeddings
+    WHERE list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0
 )
 SELECT e.vec_id,
        ROUND(s.scale, 6) AS scale,
@@ -308,14 +322,16 @@ ORDER BY e.vec_id
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization with a per-vector scale (127/max|x|) —
     the storage-prep step for embedding corpora (4x smaller, ANN-ready).
-    Pure map-side array math, zero shuffle before the final sort."""
+    Pure map-side array math, zero shuffle before the final sort.
+
+    All-zero vectors are excluded on both engines: 127/max|x| with
+    max|x| = 0 throws under Spark's default ANSI mode (and yields a
+    meaningless inf scale in DuckDB) — a zero vector has no symmetric
+    quantization."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     e = e.filter(F.col("vec_id") % 10 == 0)
-    scaled = e.withColumn(
-        "scale_raw",
-        F.lit(127.0)
-        / F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
-    )
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scaled = e.filter(max_abs > 0).withColumn("scale_raw", F.lit(127.0) / max_abs)
     return scaled.select(
         "vec_id",
         F.round("scale_raw", 6).alias("scale"),

@@ -150,9 +150,18 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.length(t) >= 2,
         ).alias("ts")
     )
+    # zip the array with its tail via two slices whose length is clamped
+    # >= 0: a <2-token doc yields an EMPTY bigram list. The index-based
+    # sequence(1, size-1) form crashes there — Spark's sequence DESCENDS
+    # when start > stop ([1,0]), and ts[1] on a 1-element array throws
+    # INVALID_ARRAY_INDEX under Spark 4's default ANSI mode.
     grams = toks.select(
         F.explode(
-            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
         ).alias("bigram")
     )
     return (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure, load_table
+from ..session import configure, load_table, query_table
 from .registry import query
 from .tpch_common import REV
 
@@ -34,9 +34,7 @@ _REV = REV  # single definition: tpch_common.py
 _PROFIT = "CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.05 AS DECIMAL(38,6))"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    configure(spark)
-    return load_table(spark, sf_dir, name)
+_t = query_table  # shared helper (session.py), was a per-module copy
 
 
 # --------------------------------------------------------------------------

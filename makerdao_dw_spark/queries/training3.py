@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure, load_table
+from ..session import configure, load_table, query_table
 from .registry import query
 
 # Cross-engine uniform in [0, 100): the repo-standard md5 arithmetic hash
@@ -30,9 +30,7 @@ _BUCKET_SPARK = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as
 _BUCKET_DUCK = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    configure(spark)
-    return load_table(spark, sf_dir, name)
+_t = query_table  # shared helper (session.py), was a per-module copy
 
 
 # --------------------------------------------------------------------------
@@ -373,8 +371,9 @@ WITH s AS (
     SELECT *, POW(CAST(n_docs AS DOUBLE), 0.5) AS raw_w FROM s
 )
 SELECT source, n_docs, n_chars_total,
-       ROUND(raw_w / SUM(raw_w) OVER (), 9) AS mix_weight,
-       ROUND((raw_w / SUM(raw_w) OVER ()) / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS upsample_factor
+       ROUND(raw_w / CAST(SUM(CAST(raw_w AS DECIMAL(38,12))) OVER () AS DOUBLE), 9) AS mix_weight,
+       ROUND((raw_w / CAST(SUM(CAST(raw_w AS DECIMAL(38,12))) OVER () AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS upsample_factor
 FROM p
 ORDER BY source
 """,
@@ -387,7 +386,13 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor vs natural frequency. The window normalization runs over
     |sources| pre-aggregated rows (a handful), so the global SUM() OVER ()
     is driver-trivial at any corpus size — the data-sized work is the one
-    per-source aggregation shuffle."""
+    per-source aggregation shuffle.
+
+    The normalizing sum casts each raw_w term to DECIMAL(38,12) before
+    SUM (the repo's determinism rule): raw_w = n^0.5 terms are irrational
+    doubles, and a bare double SUM() OVER () accumulates in arrival
+    order — a low bit in the denominator could flip a ROUND boundary
+    between runs/engines."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -396,7 +401,7 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     raw_w = F.pow(F.col("n_docs").cast("double"), 0.5)
     nat = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
-    mix = raw_w / F.sum(raw_w).over(w)
+    mix = raw_w / F.sum(raw_w.cast("decimal(38,12)")).over(w).cast("double")
     return s.select(
         "source",
         "n_docs",

@@ -23,13 +23,11 @@ from ..operators.quality import (
     run_suite,
     unique_key,
 )
-from ..session import configure, load_table
+from ..session import configure, load_table, query_table
 from .registry import query
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    configure(spark)
-    return load_table(spark, sf_dir, name)
+_t = query_table  # shared helper (session.py), was a per-module copy
 
 
 # --------------------------------------------------------------------------

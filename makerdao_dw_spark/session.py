@@ -183,6 +183,18 @@ def load_table(
     return df
 
 
+def query_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    """configure + load_table in one call — the standard entry for query
+    modules (previously copy-pasted as a private _t helper per module).
+    NOTE: many modules also use `configure(spark) and load_table(...)`,
+    which relies on configure RETURNING the session (truthy) — that
+    return contract is pinned by tests/test_functions.py."""
+    configure(spark)
+    return load_table(spark, sf_dir, name, spread=spread)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table as a DataFrame keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

@@ -99,3 +99,59 @@ def test_q22_boundary_customer_consistent(spark, tmp_path):
     # only customer 2 (100.03) is strictly above the 100.02 average
     assert [(r[0], r[1]) for r in rows] == [(0, 1)], rows
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(tmp_path))
+
+
+def test_cosine_queries_survive_zero_vector(spark, tmp_path):
+    """An all-zero embedding used to throw DIVIDE_BY_ZERO under Spark
+    4's default ANSI mode in every cosine query (while DuckDB emitted
+    inf/NaN rows). Degenerate vectors are now excluded on BOTH engines."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    emb = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(n)]
+    emb[0] = [0.0] * 64    # probe id 0 (vec_id % 100 == 0) is degenerate
+    emb[50] = [0.0] * 64   # probe id 50 (% 25 == 0, % 10 == 0) too
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": list(range(n)),
+                "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+                "label": [i % 4 for i in range(n)],
+            }
+        ),
+    )
+    for name in (
+        "ann_bruteforce_topk",
+        "ann_ivf_bucketed",
+        "ann_srp_lsh",
+        "quantize_embeddings_int8",
+        "dedup_embedding_cosine",
+    ):
+        compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(tmp_path))
+
+
+def test_bigram_survives_short_documents(spark, tmp_path):
+    """sequence(1, size-1) DESCENDS on <2-token docs and ts[1] threw
+    INVALID_ARRAY_INDEX under ANSI; the slice-zip formulation must
+    yield zero bigrams for them and still match DuckDB."""
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["", "a", "ab", "alpha beta alpha beta", "alpha beta"]
+                + [],
+                "lang": ["en"] * 5,
+                "source": ["s"] * 5,
+                "n_chars": [0, 1, 2, 21, 10],
+            }
+        ),
+    )
+    name = "ngram_bigram_topk"
+    sdf = QUERIES[name](spark, str(tmp_path))
+    assert sdf.count() == 0  # n>=5 threshold unmet, but it must not crash
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(tmp_path))
