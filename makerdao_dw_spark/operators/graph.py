@@ -146,3 +146,72 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations; "
         "raise max_iter (graph diameter exceeds it)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, formulated
+    for EXACT cross-engine determinism: every per-edge contribution is
+    rounded to 12 decimals and summed as DECIMAL(38,12) (arrival order
+    can never flip a bit), and each new rank is re-rounded to 12
+    decimals — so K iterations produce bit-identical doubles in any
+    engine that applies the same recurrence (the DuckDB oracle unrolls
+    it as chained CTEs).
+
+        rank_0(n)   = round(1/N, 12)
+        rank_k+1(n) = round((1-d)/N
+                      + d * SUM_{(m,n)} round(rank_k(m)/outdeg(m), 12), 12)
+
+    No dangling-mass redistribution: callers pass a symmetrized edge
+    list for undirected graphs (every node then has outdeg >= 1);
+    directed graphs with sinks leak their mass, documented and fine for
+    ranking use.
+
+    100 TB shape: the per-iteration work is one hash join of ranks onto
+    the (src-partitioned) edge list plus one aggregation shuffled on
+    dst — both on uniform node keys; ranks/nodes are node-sized, edges
+    edge-sized, nothing ever collects to the driver except the O(1)
+    node count. Lineage is cut per round (reliable-checkpoint-aware,
+    like connected_components above)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    nodes = _cut_lineage(nodes)
+    n_nodes = nodes.count()  # O(1) driver scalar, standard for iterative algos
+    out = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    linked = _cut_lineage(edges.join(out, src).select(src, dst, "outdeg"))
+
+    # Spark's ROUND (half-up), not Python's round() (half-even): the
+    # oracle rounds with the engine function, so Spark must too
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n_nodes)), 12).alias("rank")
+    )
+    base = (1 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = linked.join(ranks, linked[src] == ranks["node"]).select(
+            F.col(dst).alias("to_node"),
+            F.round(F.col("rank") / F.col("outdeg"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("to_node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["to_node"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        ranks = _cut_lineage(ranks)
+    return ranks

@@ -19,7 +19,7 @@ reference):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text_features import (
@@ -33,6 +33,7 @@ from ..operators.text_features import (
 )
 from ..session import configure, load_table
 from .registry import query
+from .text_common import NORM_HASH_DUCK, norm_hash
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 
@@ -64,11 +65,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_exact_normalized",
-    oracle="""
+    oracle=f"""
 WITH n AS (
     SELECT doc_id,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                   ' +', ' ', 'g'))) AS norm_hash,
+           {NORM_HASH_DUCK} AS norm_hash,
            md5(text) AS raw_hash
     FROM documents
 )
@@ -93,15 +93,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization). Same 100 TB shape as dedup_exact: normalization is
     map-side codegen, then ONE shuffle on a uniform 128-bit key."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
     return (
         d.select(
             "doc_id",
-            F.md5(norm.cast("binary")).alias("norm_hash"),
+            norm_hash("text").alias("norm_hash"),
             F.md5(F.col("text").cast("binary")).alias("raw_hash"),
         )
         .groupBy("norm_hash")
@@ -145,18 +140,33 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared shingle→minhash→band→bucket pipeline: one scan, one
-    band-keyed exchange, signatures computed exactly once."""
+def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shingle→minhash→band pipeline: one scan, signatures
+    computed exactly once, one (doc_id, band, h) row per band."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     sigs = d.select("doc_id", shingles_expr("text").alias("shingles")).select(
         "doc_id", minhash_signature("shingles", NUM_HASHES).alias("sig")
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(band_hashes("sig", BANDS, ROWS_PER_BAND)).alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    return bands.groupBy("band", "h").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-expandable buckets (1 < size <= LSH_BUCKET_CAP) as sorted
+    doc arrays. The size gate runs BEFORE collect_list — a window count
+    over the same (band, h) keys — so an over-cap bucket (millions of
+    boilerplate docs on one band hash) never materializes a giant
+    aggregation buffer; its rows are dropped row-wise. The window and
+    the groupBy share one hash exchange (same keys, plan reuses the
+    partitioning)."""
+    bands = _lsh_band_rows(spark, sf_dir)
+    w = Window.partitionBy("band", "h")
+    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w))
+    return (
+        sized.filter((F.col("bn") > 1) & (F.col("bn") <= LSH_BUCKET_CAP))
+        .groupBy("band", "h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     )
 
 
@@ -187,10 +197,9 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted candidate pairs (doc_a < doc_b, n_shared_bands) from the
     capped bucket expansion — shared by dedup_minhash_lsh (which adds the
     presentation sort) and dedup_ngram_jaccard (which joins on the pairs
-    and must not inherit a useless pre-join sort)."""
-    buckets = _lsh_buckets(spark, sf_dir).filter(
-        (F.size("ds") > 1) & (F.size("ds") <= LSH_BUCKET_CAP)
-    )
+    and must not inherit a useless pre-join sort). The bucket-size
+    gate (1 < n <= LSH_BUCKET_CAP) lives in _lsh_buckets, pre-collect."""
+    buckets = _lsh_buckets(spark, sf_dir)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -234,15 +243,21 @@ def dedup_minhash_lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     a boilerplate/near-identical cluster that should be routed to
     exact-hash dedup instead of quadratic pair expansion; rows with
     over_production_cap = TRUE are a faithful audit of what the pair
-    expansion dropped (never silently)."""
+    expansion dropped (never silently).
+
+    Formulated as a pure COUNT aggregation over the band rows — no
+    collect_list anywhere, so the monitor itself can never OOM on the
+    pathological bucket it exists to detect."""
     return (
-        _lsh_buckets(spark, sf_dir)
-        .filter(F.size("ds") > DEMO_OVERFLOW_CAP)
+        _lsh_band_rows(spark, sf_dir)
+        .groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > DEMO_OVERFLOW_CAP)
         .select(
             "band",
             "h",
-            F.size("ds").cast("long").alias("bucket_size"),
-            (F.size("ds") > LSH_BUCKET_CAP).alias("over_production_cap"),
+            "bucket_size",
+            (F.col("bucket_size") > LSH_BUCKET_CAP).alias("over_production_cap"),
         )
         .orderBy("band", "h")
     )
@@ -462,9 +477,17 @@ WITH RECURSIVE bands AS (
     SELECT doc_id, UNNEST({_D_BANDS}, recursive := true)
     FROM (SELECT doc_id, {_D_SIG} AS sig
           FROM (SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents))
+), small AS (
+    -- the SAME bucket-size cap the Spark side applies in _lsh_buckets:
+    -- without it, a corpus with one over-cap bucket would give the
+    -- oracle edges the engine (correctly) refused to expand
+    SELECT band, h FROM bands GROUP BY band, h
+    HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
 ), edges AS (
     SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    JOIN small s ON a.band = s.band AND a.h = s.h
 ), sym AS (
     SELECT src AS a, dst AS b FROM edges
     UNION SELECT dst, src FROM edges
@@ -488,10 +511,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: LSH candidate pairs -> connected
     components by iterative min-label propagation (operators/graph.py).
     The canonical doc of a cluster = the component id (min doc_id
-    reachable). Oracle: DuckDB recursive-CTE transitive closure."""
+    reachable). Oracle: DuckDB recursive-CTE transitive closure (capped
+    by LSH_BUCKET_CAP exactly like the engine's candidate stage)."""
     from ..operators.graph import connected_components
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # unsorted candidate pairs: the iterative propagation hashes on the
+    # node key anyway, a presentation sort here would be pure waste
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return (
         connected_components(pairs, "doc_a", "doc_b")
         .select(F.col("node").alias("doc_id"), "component")
@@ -533,7 +559,9 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     at dimension size, hash join on the uniform doc key otherwise; the
     rollup is |source-pairs|-sized."""
     configure(spark)
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # unsorted pairs: the joins and rollup destroy any ordering, so the
+    # registered dedup_minhash_lsh's presentation sort must not leak in
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents", spread=False).select("doc_id", "source")
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))

@@ -133,3 +133,90 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed-iteration power method, exact cross-engine recurrence)
+# --------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power iteration: DuckDB recursive CTEs forbid aggregates
+    in the recursive term, so K iterations are generated as chained CTEs
+    r0 -> r1 -> ... -> rK, each applying the EXACT recurrence of
+    operators.graph.pagerank (round-12 contributions summed as
+    DECIMAL(38,12), round-12 rank update)."""
+    head = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+), e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+), deg AS (
+    SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+    SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+    SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes
+)"""
+    steps = []
+    for k in range(iters):
+        steps.append(f""", r{k + 1} AS (
+    SELECT nd.node,
+           ROUND((1 - 0.85) / (SELECT n FROM nn)
+                 + 0.85 * COALESCE(CAST(s.sm AS DOUBLE), 0.0), 12) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst, SUM(CAST(ROUND(r.rank / d.outdeg, 12) AS DECIMAL(38,12))) AS sm
+        FROM e JOIN deg d ON e.src = d.src JOIN r{k} r ON r.node = e.src
+        GROUP BY e.dst
+    ) s ON s.dst = nd.node
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS part, rank AS pagerank FROM r{iters} ORDER BY pagerank DESC, part LIMIT 100\n"
+    )
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the (symmetrized) part co-purchase
+    graph, 3 power iterations — the 'which items anchor the catalog'
+    signal. Exactly value-checked against a DuckDB unrolled-CTE twin:
+    the recurrence rounds every per-edge contribution to 12 decimals
+    and sums in DECIMAL(38,12), so both engines walk bit-identical
+    doubles (operators/graph.py::pagerank).
+
+    100 TB shape: per iteration one rank⋈edges hash join plus one
+    dst-keyed aggregation, uniform node keys, driver sees only the node
+    count; lineage cut per round, reliable-checkpoint-aware."""
+    from ..operators.graph import pagerank
+
+    configure(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return (
+        pagerank(edges, iterations=_PR_ITERS)
+        .select(F.col("node").alias("part"), F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part")
+        .limit(100)
+    )

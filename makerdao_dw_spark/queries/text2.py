@@ -66,13 +66,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = terms.groupBy("term").agg(
         F.count(F.when(F.col("tf") > 0, 1)).alias("docfreq")
     )
-    n_docs = d.count()  # scalar; at scale: a 1-row broadcast instead of collect
-    scored = terms.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("docfreq") + 1.0)), 6
-        ).alias("tfidf"),
+    # corpus size as a 1-row broadcast, NOT d.count(): keeps the whole
+    # query one lazy plan (no driver-side job at DataFrame-build time)
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(nd)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("docfreq") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..session import configure, load_table, query_table
 from .registry import query
+from .text_common import NORM_HASH_DUCK, norm_hash
 
 # Cross-engine uniform in [0, 100): the repo-standard md5 arithmetic hash
 # (explicit bigint cast — conv() returns STRING, and the other users of
@@ -326,7 +327,9 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the uniform hashed id — and in a real corpus the metadata side is
     the slim (id, source) projection, not documents."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    n_docs = d.count()  # scalar modulus; at scale: 1-row broadcast
+    # ring modulus as a 1-row broadcast, NOT d.count(): the query stays
+    # one lazy plan with no driver-side job at DataFrame-build time
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
     anchors = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "source")
     negs = (
         anchors.select(
@@ -334,13 +337,14 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.sequence(F.lit(1), F.lit(3))).alias("neg_rank"),
         )
+        .crossJoin(nd)
         .withColumn(
             "neg_doc_id",
             F.expr(
                 "cast(conv(substring(md5(concat('neg:', cast(doc_id as string), ':', "
                 "cast(neg_rank as string))), 1, 8), 16, 10) as bigint)"
             )
-            % F.lit(n_docs),
+            % F.col("n_docs"),
         )
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
     )
@@ -417,11 +421,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "corpus_end_to_end_pipeline",
-    oracle="""
+    oracle=f"""
 WITH normed AS (
     SELECT doc_id, source, n_chars, text,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                   ' +', ' ', 'g'))) AS norm_hash
+           {NORM_HASH_DUCK} AS norm_hash
     FROM documents
 ), kept AS (  -- dedup: keep the min doc_id per normalized hash
     SELECT * FROM (
@@ -464,13 +467,8 @@ def corpus_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange and the final rollup — where a stage-materialized version
     pays a write+read round-trip per stage."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
     normed = d.select(
-        "doc_id", "source", "n_chars", "text", F.md5(norm.cast("binary")).alias("norm_hash")
+        "doc_id", "source", "n_chars", "text", norm_hash("text").alias("norm_hash")
     )
     w = Window.partitionBy("norm_hash").orderBy("doc_id")
     kept = normed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -44,7 +44,10 @@ ORACLES = oracles_dict()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_spark_output_schema_is_canon_stable(spark, name):
-    df = QUERIES[name](spark, SF_DIR)  # lazy: schema only, no execution
+    # Mostly lazy (schema only) — a few queries run real work at
+    # build time by design: iterative CC/BFS loops, eager lineage-cut
+    # checkpoints, and observe()-metric collection cannot be lazy.
+    df = QUERIES[name](spark, SF_DIR)
     bad = [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields

@@ -125,3 +125,46 @@ def test_lsh_bucket_cap_bounds_pathological_corpus(spark, tmp_path):
     assert all(r.bucket_size == n for r in over_rows), over_rows[:3]
     # the audit flag must agree with the guard that actually dropped them
     assert all(r.over_production_cap for r in over_rows), over_rows[:3]
+
+
+def test_cc_oracle_honors_bucket_cap(spark, tmp_path):
+    """Round-4 review finding: _CC_ORACLE used to build its edge set
+    WITHOUT the LSH_BUCKET_CAP filter the Spark side applies, so on any
+    corpus with an over-cap bucket the oracle merged docs the engine
+    (correctly) refused to pair — a driver hash-fail waiting for real
+    data. With 1100 identical docs (> LSH_BUCKET_CAP=1000) both sides
+    must now agree: no edges, no components."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from makerdao_dw_spark.queries import dedup as D
+
+    from .conftest import compare_with_oracle
+
+    n = D.LSH_BUCKET_CAP + 100
+    text = "identical boilerplate text repeated across the corpus many times over"
+    path = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(n)),
+                "text": [text] * n,
+                "lang": ["en"] * n,
+                "source": ["synthetic"] * n,
+                "n_chars": [len(text)] * n,
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+    compare_with_oracle(
+        spark,
+        "dedup_connected_components",
+        D.dedup_connected_components,
+        D._CC_ORACLE,
+        path,
+    )
+    # and the agreement is the empty one (every bucket over-cap)
+    assert D.dedup_connected_components(spark, path).count() == 0

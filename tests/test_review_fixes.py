@@ -155,3 +155,30 @@ def test_bigram_survives_short_documents(spark, tmp_path):
     sdf = QUERIES[name](spark, str(tmp_path))
     assert sdf.count() == 0  # n>=5 threshold unmet, but it must not crash
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(tmp_path))
+
+
+def test_norm_hash_twins_identical(spark):
+    """The hoisted normalization pair (text_common.norm_hash vs
+    NORM_HASH_DUCK) must hash identically on both engines — including
+    punctuation runs, tabs/newlines (NOT collapsed: the keep-class
+    turns them into spaces first), digits, and an already-clean text."""
+    import duckdb
+
+    from makerdao_dw_spark.queries.text_common import NORM_HASH_DUCK, norm_hash
+
+    texts = [
+        "Hello,   World!! 123",
+        "a\tb\nc",
+        "already clean text",
+        "___",
+        "MiXeD CaSe-with-dashes  and   runs",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in sdf.select(norm_hash("text")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql(f"SELECT {NORM_HASH_DUCK} FROM (SELECT ? AS text)", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert got == want, list(zip(texts, got, want))
