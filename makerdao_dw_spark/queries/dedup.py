@@ -472,7 +472,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_CC_ORACLE = f"""
+_CC_CORE = f"""
 WITH RECURSIVE bands AS (
     SELECT doc_id, UNNEST({_D_BANDS}, recursive := true)
     FROM (SELECT doc_id, {_D_SIG} AS sig
@@ -495,7 +495,9 @@ WITH RECURSIVE bands AS (
     SELECT a AS node, a AS reached FROM sym
     UNION
     SELECT r.node, s.b FROM reach r JOIN sym s ON r.reached = s.a
-)
+)"""
+
+_CC_ORACLE = f"""{_CC_CORE}
 SELECT node AS doc_id, MIN(reached) AS component
 FROM reach GROUP BY node
 ORDER BY doc_id
@@ -574,4 +576,54 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
         .orderBy("source_x", "source_y")
+    )
+
+
+@query(
+    "dedup_apply_clusters",
+    oracle=f"""{_CC_CORE},
+cc AS (SELECT node AS doc_id, MIN(reached) AS component FROM reach GROUP BY node)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                     THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_saved
+FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("dedup", "pipeline", "apply"),
+)
+def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step that closes the near-dup pipeline: LSH candidates
+    (capped) -> connected components -> keep exactly one canonical doc
+    per cluster (the component id = min doc_id reachable) and drop the
+    rest, rolled up per source (docs kept/dropped, chars saved).
+
+    100 TB shape: components are |clustered docs|-sized (sparse — most
+    docs are in no cluster and survive via the left join's NULL arm);
+    the join hits the slim (doc_id, source, n_chars) projection on the
+    uniform doc key; the rollup is |sources|-sized."""
+    from ..operators.graph import connected_components
+
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keep = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(cc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(~keep, F.col("n_chars")).otherwise(0)).alias("chars_saved"),
+        )
+        .orderBy("source")
     )

@@ -433,3 +433,127 @@ def embedding_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantized candidate generation + exact rescore (the production ANN shape)
+# --------------------------------------------------------------------------
+def _int_dot_duck(a: str, b: str) -> str:
+    """Exact BIGINT dot product of two int lists (left fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {DIM}), i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_QUANT_DUCK = """
+    SELECT vec_id, label, embedding,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)
+                    * (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))))) AS BIGINT)) AS q,
+           127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) AS scale
+    FROM embeddings
+    WHERE list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0
+"""
+
+
+@query(
+    "ann_quantized_rescore",
+    oracle=f"""
+WITH qv AS ({_QUANT_DUCK}),
+cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           a.embedding AS av, b.embedding AS bv,
+           ROUND({_int_dot_duck('a.q', 'b.q')} / (a.scale * b.scale), 6) AS approx_dot
+    FROM qv a JOIN qv b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % 50 = 0
+), shortlist AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dot DESC, neighbor_id) AS crk
+    FROM cand
+)
+SELECT query_id, neighbor_id, approx_dot,
+       {_cos_duck('av', 'bv')} AS cosine, rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY {_cos_duck('av', 'bv')} DESC, neighbor_id) AS rk
+    FROM shortlist WHERE crk <= 8
+) WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+    tags=("similarity", "ann", "quantization", "rescore"),
+)
+def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage ANN shape: int8-quantized dot products
+    generate a cheap shortlist (8 candidates per query from the same
+    coarse bucket), then EXACT float cosine rescores the shortlist and
+    keeps the top 3 — candidate generation pays integer math on 4x
+    smaller vectors, exactness is restored where it matters.
+
+    Cross-engine exactness: the quantized dot is pure BIGINT (no float
+    drift possible); the descale (dot / (scale_a*scale_b)) and the
+    rescore cosine are identical IEEE doubles rounded to 6. Zero-norm
+    vectors are excluded on both engines (no symmetric quantization, no
+    cosine). 100 TB shape: quantization is map-side; same-bucket pairs
+    bound the candidate join (O(N^2/buckets)); the rescore touches only
+    8 rows per query."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qv = (
+        e.filter(max_abs > 0)
+        .withColumn("scale", F.lit(127.0) / max_abs)
+        .withColumn(
+            "q",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * F.col("scale")).cast("long"),
+            ),
+        )
+    )
+    a = qv.select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("embedding").alias("av"),
+        F.col("q").alias("qa"),
+        F.col("scale").alias("sa"),
+    ).filter(F.col("query_id") % 50 == 0)
+    b = qv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("bv"),
+        F.col("q").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+    int_dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cand = (
+        a.join(b, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "av",
+            "bv",
+            F.round(F.expr(int_dot) / (F.col("sa") * F.col("sb")), 6).alias(
+                "approx_dot"
+            ),
+        )
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), "neighbor_id"
+    )
+    shortlist = cand.withColumn("crk", F.row_number().over(w_approx)).filter(
+        F.col("crk") <= 8
+    )
+    cos = F.expr(_cos_spark("av", "bv"))
+    w_exact = Window.partitionBy("query_id").orderBy(cos.desc(), "neighbor_id")
+    return (
+        shortlist.withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "approx_dot", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -322,3 +322,109 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality scoring (corpus-trained, add-one smoothed)
+# --------------------------------------------------------------------------
+_LM_TOKS_DUCK = """
+    SELECT doc_id,
+           list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
+                       t -> len(t) >= 2) AS ts
+    FROM documents
+"""
+
+
+@query(
+    "lm_bigram_doc_score",
+    oracle=f"""
+WITH toks AS ({_LM_TOKS_DUCK}),
+bg AS (
+    SELECT doc_id, UNNEST(list_zip(ts[1:-2], ts[2:-1])) AS z
+    FROM toks WHERE len(ts) >= 2
+), db AS (
+    SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n2 FROM db GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, COUNT(*) AS n1 FROM db GROUP BY w1
+), v AS (
+    SELECT COUNT(DISTINCT w1) AS vocab FROM db
+), scored AS (
+    SELECT d.doc_id,
+           CAST(ROUND(ln((c2.n2 + 1) / CAST(c1.n1 + v.vocab AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS lp
+    FROM db d
+    JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+    JOIN c1 ON d.w1 = c1.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "lm", "quality-scoring"),
+)
+def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score from a corpus-trained bigram LM with
+    add-one smoothing: avg over the doc's bigrams of
+    ln((C(w1,w2)+1) / (C(w1)+V)) — the classic perplexity-style quality
+    screen (gibberish and boilerplate score low) that needs no external
+    model.
+
+    Shapes at 100 TB: ONE tokenization feeds doc bigrams; the model is
+    two aggregations over (w1,w2) and (w1) — vocab²-bounded, far smaller
+    than the corpus; scoring re-joins the model on uniform token keys
+    (broadcast when the model fits, hash join otherwise); V is a 1-row
+    broadcast. Determinism: each log is rounded to 6 decimals and summed
+    as DECIMAL(38,6) — arrival order can never flip a bit (ln inputs are
+    exact-integer ratios, identical in both engines)."""
+    configure(spark)
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
+            lambda t: F.length(t) >= 2,
+        ).alias("ts"),
+    )
+    db = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                "         (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = db.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = F.broadcast(db.agg(F.countDistinct("w1").alias("vocab")))
+    scored = (
+        db.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vocab")).cast("double")),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

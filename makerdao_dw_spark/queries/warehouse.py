@@ -538,3 +538,119 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_null_props bigint, n_event_types bigint, min_event_id bigint, max_event_id bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch marketing attribution (first / last / linear)
+# --------------------------------------------------------------------------
+@query(
+    "attribution_multi_touch",
+    oracle="""
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS conv_value
+    FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type AS channel
+    FROM events WHERE event_type IN ('click', 'view', 'signup')
+), windowed AS (
+    SELECT c.conv_id, c.conv_value, t.touch_id, t.touch_ts, t.channel
+    FROM conv c JOIN touch t
+      ON c.user_id = t.user_id
+     AND t.touch_ts <= c.conv_ts
+     AND t.touch_ts >= c.conv_ts - INTERVAL 1 DAY
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_ts, touch_id) AS rn_asc,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn_desc,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+    FROM windowed
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       CAST(SUM(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(SUM(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       CAST(SUM(CASE WHEN rn_asc = 1
+                     THEN CAST(ROUND(conv_value, 9) AS DECIMAL(38,9))
+                     ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE) AS first_touch_value,
+       CAST(SUM(CASE WHEN rn_desc = 1
+                     THEN CAST(ROUND(conv_value, 9) AS DECIMAL(38,9))
+                     ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE) AS last_touch_value,
+       CAST(SUM(CAST(ROUND(conv_value / n_touches, 9) AS DECIMAL(38,9))) AS DOUBLE) AS linear_value
+FROM ranked
+GROUP BY channel
+ORDER BY channel
+""",
+    tags=("analytics", "attribution", "interval-join"),
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch / linear attribution of purchase value
+    to the marketing touches (click/view/signup) in the 1-day lookback
+    before each purchase.
+
+    Join shape: EQUI-join on user_id with the time window as a residual
+    predicate (the pit_join pattern) — per-user event streams are small,
+    so the residual never degenerates into a nested loop; at 100 TB
+    both sides hash-shuffle once on the uniform user key (or co-located
+    via user bucketing). Window functions rank the touches per
+    conversion; the linear weight conv_value/n_touches is rounded to 9
+    decimals and summed as DECIMAL(38,9) (the repo determinism rule:
+    arrival order can never flip a bit)."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("value").alias("conv_value"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    windowed = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (touch.touch_ts <= conv.conv_ts)
+        & (touch.touch_ts >= conv.conv_ts - F.expr("INTERVAL 1 DAY")),
+    ).select("conv_id", "conv_value", "touch_id", "touch_ts", "channel")
+    w_asc = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_desc = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    w_all = Window.partitionBy("conv_id")
+    ranked = (
+        windowed.withColumn("rn_asc", F.row_number().over(w_asc))
+        .withColumn("rn_desc", F.row_number().over(w_desc))
+        .withColumn("n_touches_conv", F.count(F.lit(1)).over(w_all))
+    )
+    dec9 = "decimal(38,9)"
+    zero = F.lit(0).cast(dec9)
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0)).alias("n_last"),
+            F.sum(
+                F.when(
+                    F.col("rn_asc") == 1, F.round("conv_value", 9).cast(dec9)
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("first_touch_value"),
+            F.sum(
+                F.when(
+                    F.col("rn_desc") == 1, F.round("conv_value", 9).cast(dec9)
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("last_touch_value"),
+            F.sum(
+                F.round(F.col("conv_value") / F.col("n_touches_conv"), 9).cast(dec9)
+            )
+            .cast("double")
+            .alias("linear_value"),
+        )
+        .orderBy("channel")
+    )
