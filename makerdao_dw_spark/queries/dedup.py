@@ -627,3 +627,184 @@ def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# SimHash verify stage: same-halfword buckets -> exact hamming distance.
+# Mirrors the minhash pipeline's propose(LSH)->verify(jaccard) split.
+_SIMHASH_CTE = """
+WITH hs AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+    FROM documents
+), sim AS (
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 31), b ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(hs, h ->
+                           CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)),
+                       (x, y) -> x + y) > 0
+                   THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END)),
+               (x, y) -> x + y) AS BIGINT) AS simhash
+    FROM hs
+)"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""{_SIMHASH_CTE},
+keyed AS (
+    SELECT doc_id, simhash,
+           CAST(simhash % 65536 AS BIGINT) AS b_lo,
+           CAST(simhash // 65536 AS BIGINT) AS b_hi
+    FROM sim
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM keyed a JOIN keyed b ON a.b_lo = b.b_lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM keyed a JOIN keyed b ON a.b_hi = b.b_hi AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of the SimHash pipeline (mirror of minhash-LSH →
+    Jaccard): candidate pairs share a 16-bit signature half (pigeonhole:
+    any pair within hamming distance 1 per half shares one), then the
+    exact hamming distance over the full 32-bit signature confirms
+    near-duplicates (<= 6 differing bits here, tuned to the demo
+    corpus).
+
+    Every join is an equi-join on a bucket key; the distance is
+    bit_count(xor) — exact integer, no float anywhere. 100 TB shape:
+    two bucket self-joins bounded by bucket occupancy (16-bit uniform
+    keys), UNION dedups the pairs found by both halves; production
+    would add the same bucket-size cap as LSH_BUCKET_CAP."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    hs_expr = "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    sim_expr = let_bound(
+        hs_expr,
+        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc * 2 + "
+        "CASE WHEN aggregate({x}, 0L, (a2, h) -> a2 + "
+        "CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)",
+    )
+    keyed = d.select("doc_id", F.expr(sim_expr).alias("simhash")).select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 65536).alias("b_lo"),
+        F.expr("simhash div 65536").alias("b_hi"),
+    )
+    a_lo = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b_lo"
+    )
+    b_lo = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "b_lo"
+    )
+    a_hi = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b_hi"
+    )
+    b_hi = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "b_hi"
+    )
+    pairs_lo = a_lo.join(b_lo, "b_lo").filter(F.col("doc_a") < F.col("doc_b"))
+    pairs_hi = a_hi.join(b_hi, "b_hi").filter(F.col("doc_a") < F.col("doc_b"))
+    cand = pairs_lo.select("doc_a", "doc_b", "sig_a", "sig_b").union(
+        pairs_hi.select("doc_a", "doc_b", "sig_a", "sig_b")
+    ).distinct()
+    ham = F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""{_LSH_BANDS_CTE},
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 9),
+batch  AS (SELECT * FROM documents WHERE doc_id % 10 = 9),
+exact_hit AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+),
+near_hit AS (
+    SELECT DISTINCT bb.doc_id
+    FROM bands bb
+    JOIN bands cb ON bb.band = cb.band AND bb.h = cb.h
+    WHERE bb.doc_id % 10 = 9 AND cb.doc_id % 10 <> 9
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN exact_hit e ON b.doc_id = e.doc_id
+LEFT JOIN near_hit n ON b.doc_id = n.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("dedup", "incremental", "pipeline"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an arriving batch (doc_id % 10 = 9
+    stands in for today's crawl) is screened against the EXISTING
+    corpus — exact content-hash match first, then LSH band collision
+    (near-dup) — without ever re-deduping the corpus against itself.
+    This is the shape production pipelines actually run daily: the
+    corpus side of both joins is an INDEX (hash set / band index built
+    once and reused), only the batch is new work.
+
+    All equi-joins: md5 key for the exact screen, (band, h) for the
+    near screen; the shared band pipeline is computed once and split by
+    the batch predicate. At 100 TB the corpus band index would be a
+    bucketed table (write-once shuffle) and each daily batch joins
+    against it with zero corpus re-shuffling; the LSH_BUCKET_CAP guard
+    applies to the index build exactly as in _lsh_buckets."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    is_batch = F.col("doc_id") % 10 == 9
+    batch = d.filter(is_batch)
+    corpus = d.filter(~is_batch)
+    exact_hit = (
+        batch.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .join(
+            corpus.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    bands = _lsh_band_rows(spark, sf_dir)
+    near_hit = (
+        bands.filter(F.col("doc_id") % 10 == 9)
+        .join(
+            bands.filter(F.col("doc_id") % 10 != 9).select("band", "h").distinct(),
+            ["band", "h"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -690,3 +690,77 @@ def trailing_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (day-of-week additive model)
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_decompose_dow",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(38,6))) AS total
+  FROM events GROUP BY 1
+), keyed AS (
+  SELECT d, total, dayofweek(d) AS dow FROM daily
+), season AS (
+  SELECT dow,
+         CAST(SUM(total) AS DOUBLE) / COUNT(*) AS dow_mean
+  FROM keyed GROUP BY dow
+), gstats AS (
+  SELECT CAST(SUM(total) AS DOUBLE) / COUNT(*) AS g_mean FROM keyed
+)
+SELECT CAST(k.d AS VARCHAR) AS d,
+       k.dow,
+       CAST(k.total AS DOUBLE) AS total,
+       ROUND(s.dow_mean - g.g_mean, 6) AS seasonal,
+       ROUND(CAST(k.total AS DOUBLE) - s.dow_mean, 6) AS residual
+FROM keyed k JOIN season s ON k.dow = s.dow CROSS JOIN gstats g
+ORDER BY k.d
+""",
+    tags=("timeseries", "seasonality", "decomposition"),
+)
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-value series
+    with a day-of-week seasonal component: per date, total = global mean
+    + seasonal(dow) + residual. The residual column is the
+    deseasonalized anomaly signal (a spike on 'an unusually busy
+    Tuesday' survives; the ordinary weekend dip does not).
+
+    Exactness: daily totals and all means aggregate in DECIMAL(38,6)
+    (exact sums, counts), doubles appear only in the final scalar
+    divisions/subtractions — identical IEEE ops both engines. Shapes:
+    one date-keyed aggregation over the data, then |days|-sized joins —
+    the seasonal table is 7 rows (broadcast), the global mean 1 row.
+    dayofweek parity: Spark's dayofweek() is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — normalized via (dayofweek - 1)."""
+    e = configure(spark) and load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total")
+    )
+    keyed = daily.select(
+        "d", "total", (F.dayofweek("d") - 1).cast("long").alias("dow")
+    )
+    season = F.broadcast(
+        keyed.groupBy("dow").agg(
+            (F.sum("total").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+        )
+    )
+    glob = F.broadcast(
+        keyed.agg((F.sum("total").cast("double") / F.count(F.lit(1))).alias("g_mean"))
+    )
+    return (
+        keyed.join(season, "dow")
+        .crossJoin(glob)
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "dow",
+            F.col("total").cast("double").alias("total"),
+            F.round(F.col("dow_mean") - F.col("g_mean"), 6).alias("seasonal"),
+            F.round(F.col("total").cast("double") - F.col("dow_mean"), 6).alias(
+                "residual"
+            ),
+        )
+        .orderBy("d")
+    )

@@ -654,3 +654,76 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC net-effect apply (last-wins change-feed compaction)
+# --------------------------------------------------------------------------
+@query(
+    "cdc_net_state",
+    oracle="""
+WITH changes AS (
+    SELECT user_id, ts, event_id, value,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'purchase' THEN 'U'
+                           WHEN 'error' THEN 'D' END AS op
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM changes
+)
+SELECT user_id, op AS last_op, n_changes,
+       ROUND(value, 6) AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+""",
+    tags=("warehouse", "cdc", "compaction"),
+)
+def cdc_net_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture net-effect compaction: a change feed of
+    inserts/updates/deletes (signup/purchase/error standing in for
+    I/U/D) collapses to the CURRENT state per key — last operation
+    wins, keys whose final op is a delete vanish. This is the apply
+    step a Debezium/Kafka CDC stream needs before a warehouse MERGE
+    (io/merge.py does the file-level half; this is the record-level
+    half).
+
+    Deterministic last-wins: ties on ts break by event_id (the feed's
+    monotone sequence number). One window over the user key — at 100 TB
+    the feed shuffles once on the uniform key; in production the
+    row_number trick runs per micro-batch and the result MERGEs into
+    the serving table (streaming/jobs.py::stream_serving_aggregates
+    shows the streaming wiring)."""
+    e = _t(spark, sf_dir, "events")
+    changes = e.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .otherwise("D")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            "n_changes",
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
