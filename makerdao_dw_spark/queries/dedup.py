@@ -808,3 +808,124 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style, the LSH alternative)
+# --------------------------------------------------------------------------
+# Jaccard threshold as an exact rational (prefix length needs exact
+# integer ceil(t*n)). 9/10 because the synthetic corpus's token SETS
+# overlap heavily (small shared vocab): lower thresholds match most of
+# the corpus to itself, making the prefix filter vacuous as a demo and
+# the result set pair-quadratic.
+_PF_NUM, _PF_DEN = 9, 10
+_PF_T = _PF_NUM / _PF_DEN
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, UNNEST(list_filter(
+        string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
+        t -> len(t) >= 3)) AS token
+    FROM documents
+), tdf AS (
+    SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+), trank AS (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY df, token) AS rnk FROM tdf
+), ranked AS (
+    SELECT t.doc_id, t.token, r.rnk,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.rnk) AS pos,
+           COUNT(*) OVER (PARTITION BY t.doc_id) AS n_toks
+    FROM toks t JOIN trank r ON t.token = r.token
+), prefix AS (
+    -- p = n - ceil(t*n) + 1 in EXACT integer math (t = 9/10):
+    -- the float form floor((1-t)*n)+1 under-counts by 1 whenever t*n
+    -- is an integer ((1-0.9)*10 = 0.999... -> floor 0), losing recall
+    SELECT doc_id, token FROM ranked
+    WHERE pos <= n_toks - (({_PF_NUM} * n_toks + {_PF_DEN} - 1) // {_PF_DEN}) + 1
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+), sets AS (
+    SELECT doc_id, list_sort(list(DISTINCT token)) AS ts, COUNT(DISTINCT token) AS n
+    FROM toks GROUP BY doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+FROM cand c
+JOIN sets a ON c.doc_a = a.doc_id
+JOIN sets b ON c.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / (a.n + b.n - len(list_intersect(a.ts, b.ts))) >= {_PF_T}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs principle) — the deterministic alternative to
+    MinHash-LSH: two token sets with Jaccard >= t MUST share a token
+    among each one's floor((1-t)*n)+1 globally-rarest tokens, so the
+    candidate join only touches those prefix tokens. No probabilistic
+    recall loss, no signatures.
+
+    100 TB shape: the global rarity order is a vocabulary-sized rank
+    (broadcast); prefix tokens are by construction the LOW-df tokens,
+    so the candidate equi-join's key distribution is anti-skewed (rare
+    keys -> tiny buckets — the frequency-ordering trick is exactly what
+    makes this scale); verification joins the full sorted sets only for
+    surviving pairs. All equi-joins, one window per side."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
+                    lambda t: F.length(t) >= 3,
+                )
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    trank = tdf.select(
+        "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("rnk")
+    w_n = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(F.broadcast(trank), "token")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_toks", F.count(F.lit(1)).over(w_n))
+    )
+    # p = n - ceil(t*n) + 1 via exact integer math (t = 9/10) — the
+    # float floor((1-t)*n)+1 form loses a pair when t*n is an integer
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_toks") - F.expr(f"({_PF_NUM} * n_toks + {_PF_DEN} - 1) div {_PF_DEN}") + 1
+    ).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("ts"),
+        F.countDistinct("token").alias("n"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    jac = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    return (
+        cand.join(sets.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sets.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), jac.alias("_j"))
+        .filter(F.col("_j") >= _PF_T)
+        .drop("_j")
+        .orderBy("doc_a", "doc_b")
+    )

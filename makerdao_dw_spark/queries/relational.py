@@ -738,3 +738,81 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics battery (the cross-engine landmine checklist)
+# --------------------------------------------------------------------------
+@query(
+    "null_semantics_battery",
+    oracle="""
+WITH base AS (
+    SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 7 END AS grp,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(38,6)) END AS v
+    FROM orders
+), agg AS (
+    SELECT grp,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_vals,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COALESCE(SUM(v), 0) AS DOUBLE) AS sum_v
+    FROM base GROUP BY grp
+), dim AS (
+    SELECT DISTINCT grp, COALESCE(CAST(grp AS VARCHAR), 'unknown') AS label
+    FROM base
+)
+SELECT a.grp, d.label, a.n_rows, a.n_vals, a.n_nulls, a.sum_v,
+       ROUND(a.sum_v / a.n_vals, 6) AS avg_ignoring_nulls
+FROM agg a JOIN dim d ON a.grp IS NOT DISTINCT FROM d.grp
+ORDER BY a.grp NULLS FIRST
+""",
+    tags=("relational", "nulls", "battery"),
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every cross-engine NULL landmine in one query: NULL group keys
+    (group together in both engines), COUNT(*) vs COUNT(col) vs the
+    explicit null count, SUM-ignores-NULLs with a COALESCE floor, AVG
+    re-derived as sum/count-of-non-nulls, a NULL-SAFE equi-join (Spark
+    `<=>` = DuckDB IS NOT DISTINCT FROM — a plain `=` would silently
+    drop the NULL group's row), and an EXPLICIT sort order (asc_nulls_
+    first: Spark's ASC default is NULLS FIRST but DuckDB's is NULLS
+    LAST — an implicit sort is a latent hash-mismatch).
+
+    One aggregation shuffle; the dim side is |groups|-sized
+    (broadcast). The null-safe join compiles to a regular hash join on
+    the key's null-flag — no nested loop."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_custkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 7)
+        .alias("grp"),
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_totalprice").cast("decimal(38,6)"))
+        .alias("v"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+        F.coalesce(F.sum("v"), F.lit(0).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_v"),
+    )
+    dim = base.select("grp").distinct().select(
+        "grp", F.coalesce(F.col("grp").cast("string"), F.lit("unknown")).alias("label")
+    )
+    return (
+        agg.alias("a")
+        .join(F.broadcast(dim.alias("d")), F.expr("a.grp <=> d.grp"))
+        .select(
+            F.col("a.grp").alias("grp"),
+            "label",
+            "n_rows",
+            "n_vals",
+            "n_nulls",
+            "sum_v",
+            F.round(F.col("sum_v") / F.col("n_vals"), 6).alias("avg_ignoring_nulls"),
+        )
+        .orderBy(F.col("grp").asc_nulls_first())
+    )

@@ -168,3 +168,39 @@ def test_cc_oracle_honors_bucket_cap(spark, tmp_path):
     )
     # and the agreement is the empty one (every bucket over-cap)
     assert D.dedup_connected_components(spark, path).count() == 0
+
+
+def test_prefix_filter_recall_equals_bruteforce(spark):
+    """The prefix filter must be LOSSLESS at threshold t: candidates
+    pruned by the floor((1-t)*n)+1 float formula silently lost pairs
+    whenever t*n was an integer (found in round 4 — the exact-integer
+    ceil now guarantees the lemma). Compare against the brute-force
+    all-pairs Jaccard on the small corpus."""
+    import duckdb
+
+    from makerdao_dw_spark.queries.dedup import _PF_T, dedup_prefix_filter_jaccard
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = dedup_prefix_filter_jaccard(spark, sf_dir).count()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.sql(f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, UNNEST(list_filter(
+        string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
+        t -> len(t) >= 3)) AS token
+    FROM documents
+), sets AS (
+    SELECT doc_id, list(DISTINCT token) AS ts, COUNT(DISTINCT token) AS n
+    FROM toks GROUP BY doc_id
+)
+SELECT COUNT(*) FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / (a.n + b.n - len(list_intersect(a.ts, b.ts))) >= {_PF_T}
+""").fetchone()[0]
+    con.close()
+    assert got == want, (got, want)
