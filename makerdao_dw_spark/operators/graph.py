@@ -185,6 +185,9 @@ def pagerank(
     )
     nodes = _cut_lineage(nodes)
     n_nodes = nodes.count()  # O(1) driver scalar, standard for iterative algos
+    if n_nodes == 0:
+        # empty graph: no ZeroDivisionError at build time, just no rows
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     linked = _cut_lineage(edges.join(out, src).select(src, dst, "outdeg"))
 

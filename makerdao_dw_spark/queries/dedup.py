@@ -33,7 +33,7 @@ from ..operators.text_features import (
 )
 from ..session import configure, load_table
 from .registry import query
-from .text_common import NORM_HASH_DUCK, norm_hash
+from .text_common import NORM_HASH_DUCK, norm_hash, tokens_arr, tokens_arr_duck
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 
@@ -416,9 +416,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
+# ONE definition of the 32-bit SimHash signature per engine, shared by
+# the propose (dedup_simhash) and verify (dedup_simhash_hamming) stages —
+# per-file copies could drift while each query's own oracle still passes
+# (the same single-definition rule as text_common.py / tpch_common.py).
+_SIMHASH_SIM_CTE = """
 WITH hs AS (
     SELECT doc_id,
            list_transform(string_split(text, ' '), t ->
@@ -435,7 +437,24 @@ WITH hs AS (
                    CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
                THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END)) AS BIGINT) AS simhash
     FROM hs
+)"""
+
+_SIMHASH_HS_SPARK = (
+    "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
 )
+# let-bind hs: the token md5s are computed once, then folded over the 32
+# bit positions (bit 0 = most significant, matching the python reference)
+_SIMHASH_SPARK = let_bound(
+    _SIMHASH_HS_SPARK,
+    "aggregate(sequence(0, 31), 0L, (acc, b) -> acc * 2 + "
+    "CASE WHEN aggregate({x}, 0L, (a2, h) -> a2 + "
+    "CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)",
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""{_SIMHASH_SIM_CTE}
 SELECT doc_id, simhash,
        CAST(simhash % 65536 AS BIGINT) AS bucket_lo,
        CAST(simhash // 65536 AS BIGINT) AS bucket_hi
@@ -454,16 +473,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py against a pure-python reference.
     """
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    hs_expr = "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
-    # let-bind hs: the token md5s are computed once, then folded over the 32
-    # bit positions (bit 0 = most significant, matching the python reference)
-    sim_expr = let_bound(
-        hs_expr,
-        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc * 2 + "
-        "CASE WHEN aggregate({x}, 0L, (a2, h) -> a2 + "
-        "CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)",
-    )
-    sim = d.select("doc_id", F.expr(sim_expr).alias("simhash"))
+    sim = d.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
     return sim.select(
         "doc_id",
         "simhash",
@@ -631,29 +641,11 @@ def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SimHash verify stage: same-halfword buckets -> exact hamming distance.
 # Mirrors the minhash pipeline's propose(LSH)->verify(jaccard) split.
-_SIMHASH_CTE = """
-WITH hs AS (
-    SELECT doc_id,
-           list_transform(string_split(text, ' '),
-               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
-    FROM documents
-), sim AS (
-    SELECT doc_id,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(0, 31), b ->
-                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(hs, h ->
-                           CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)),
-                       (x, y) -> x + y) > 0
-                   THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END)),
-               (x, y) -> x + y) AS BIGINT) AS simhash
-    FROM hs
-)"""
-
-
+# The signature definition is the SHARED _SIMHASH_SIM_CTE/_SIMHASH_SPARK
+# pair — propose and verify can never drift apart.
 @query(
     "dedup_simhash_hamming",
-    oracle=f"""{_SIMHASH_CTE},
+    oracle=f"""{_SIMHASH_SIM_CTE},
 keyed AS (
     SELECT doc_id, simhash,
            CAST(simhash % 65536 AS BIGINT) AS b_lo,
@@ -689,14 +681,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys), UNION dedups the pairs found by both halves; production
     would add the same bucket-size cap as LSH_BUCKET_CAP."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    hs_expr = "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
-    sim_expr = let_bound(
-        hs_expr,
-        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc * 2 + "
-        "CASE WHEN aggregate({x}, 0L, (a2, h) -> a2 + "
-        "CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)",
-    )
-    keyed = d.select("doc_id", F.expr(sim_expr).alias("simhash")).select(
+    keyed = d.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")).select(
         "doc_id",
         "simhash",
         (F.col("simhash") % 65536).alias("b_lo"),
@@ -736,11 +721,18 @@ exact_hit AS (
     SELECT DISTINCT b.doc_id
     FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
 ),
+corpus_index AS (
+    -- the corpus band INDEX applies the same occupancy cap as
+    -- _lsh_buckets: an over-cap boilerplate bucket is excluded from
+    -- near-dup classification exactly as it is from pair expansion
+    SELECT band, h FROM bands WHERE doc_id % 10 <> 9
+    GROUP BY band, h HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+),
 near_hit AS (
     SELECT DISTINCT bb.doc_id
     FROM bands bb
-    JOIN bands cb ON bb.band = cb.band AND bb.h = cb.h
-    WHERE bb.doc_id % 10 = 9 AND cb.doc_id % 10 <> 9
+    JOIN corpus_index ci ON bb.band = ci.band AND bb.h = ci.h
+    WHERE bb.doc_id % 10 = 9
 )
 SELECT b.doc_id,
        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
@@ -784,13 +776,18 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(True))
     )
     bands = _lsh_band_rows(spark, sf_dir)
+    # corpus band index with the SAME occupancy cap as _lsh_buckets: an
+    # over-cap boilerplate bucket never classifies batch docs as near-dup
+    corpus_index = (
+        bands.filter(F.col("doc_id") % 10 != 9)
+        .groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= LSH_BUCKET_CAP)
+        .select("band", "h")
+    )
     near_hit = (
         bands.filter(F.col("doc_id") % 10 == 9)
-        .join(
-            bands.filter(F.col("doc_id") % 10 != 9).select("band", "h").distinct(),
-            ["band", "h"],
-            "left_semi",
-        )
+        .join(corpus_index, ["band", "h"], "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_near", F.lit(True))
@@ -826,9 +823,7 @@ _PF_T = _PF_NUM / _PF_DEN
     "dedup_prefix_filter_jaccard",
     oracle=f"""
 WITH toks AS (
-    SELECT DISTINCT doc_id, UNNEST(list_filter(
-        string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
-        t -> len(t) >= 3)) AS token
+    SELECT DISTINCT doc_id, UNNEST({tokens_arr_duck('text', 3)}) AS token
     FROM documents
 ), tdf AS (
     SELECT token, COUNT(*) AS df FROM toks GROUP BY token
@@ -879,18 +874,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes this scale); verification joins the full sorted sets only for
     surviving pairs. All equi-joins, one window per side."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
-                    lambda t: F.length(t) >= 3,
-                )
-            ).alias("token"),
-        )
-        .distinct()
-    )
+    toks = d.select(
+        "doc_id", F.explode(tokens_arr("text", 3)).alias("token")
+    ).distinct()
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     trank = tdf.select(
         "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")

@@ -167,7 +167,10 @@ WITH li AS (
     for k in range(iters):
         steps.append(f""", r{k + 1} AS (
     SELECT nd.node,
-           ROUND((1 - 0.85) / (SELECT n FROM nn)
+           -- CAST(1 AS DOUBLE) - 0.85: the bare (1 - 0.85) is an exact
+           -- DECIMAL 0.15 whose double cast differs by 1 ulp from the
+           -- engine-side double subtraction Spark/Python perform
+           ROUND((CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
                  + 0.85 * COALESCE(CAST(s.sm AS DOUBLE), 0.0), 12) AS rank
     FROM nodes nd LEFT JOIN (
         SELECT e.dst, SUM(CAST(ROUND(r.rank / d.outdeg, 12) AS DECIMAL(38,12))) AS sm

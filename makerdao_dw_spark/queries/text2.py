@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..operators.skew import salted_agg
 from ..session import configure, load_table
 from .registry import query
+from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck
 
 
 @query(
@@ -127,11 +128,9 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_bigram_topk",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
-                       t -> len(t) >= 2) AS ts
+    SELECT doc_id, {tokens_arr_duck('text', 2)} AS ts
     FROM documents
 ), grams AS (
     SELECT UNNEST(list_transform(generate_series(1, len(ts) - 1),
@@ -152,25 +151,9 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail) — no Python, one shuffle on the bigram key."""
     configure(spark)
     d = load_table(spark, sf_dir, "documents", spread=True)
-    toks = d.select(
-        F.filter(
-            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
-            lambda t: F.length(t) >= 2,
-        ).alias("ts")
-    )
-    # zip the array with its tail via two slices whose length is clamped
-    # >= 0: a <2-token doc yields an EMPTY bigram list. The index-based
-    # sequence(1, size-1) form crashes there — Spark's sequence DESCENDS
-    # when start > stop ([1,0]), and ts[1] on a 1-element array throws
-    # INVALID_ARRAY_INDEX under Spark 4's default ANSI mode.
+    toks = d.select(tokens_arr("text", 2).alias("ts"))
     grams = toks.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
-                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
-                "         (a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("bigram")
+        F.explode(F.expr(bigram_zip_expr("ts", "concat(a, ' ', b)"))).alias("bigram")
     )
     return (
         grams.groupBy("bigram")
@@ -327,10 +310,8 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Bigram language-model quality scoring (corpus-trained, add-one smoothed)
 # --------------------------------------------------------------------------
-_LM_TOKS_DUCK = """
-    SELECT doc_id,
-           list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
-                       t -> len(t) >= 2) AS ts
+_LM_TOKS_DUCK = f"""
+    SELECT doc_id, {tokens_arr_duck('text', 2)} AS ts
     FROM documents
 """
 
@@ -384,21 +365,11 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer ratios, identical in both engines)."""
     configure(spark)
     d = load_table(spark, sf_dir, "documents", spread=True)
-    toks = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
-            lambda t: F.length(t) >= 2,
-        ).alias("ts"),
-    )
+    toks = d.select("doc_id", tokens_arr("text", 2).alias("ts"))
     db = toks.filter(F.size("ts") >= 2).select(
         "doc_id",
         F.explode(
-            F.expr(
-                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
-                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
-                "         (a, b) -> struct(a AS w1, b AS w2))"
-            )
+            F.expr(bigram_zip_expr("ts", "struct(a AS w1, b AS w2)"))
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2")
     c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))

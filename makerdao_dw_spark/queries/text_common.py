@@ -39,3 +39,39 @@ def norm_text(col: str = "text") -> Column:
 def norm_hash(col: str = "text") -> Column:
     """md5 of the normalized text — Spark twin of NORM_HASH_DUCK."""
     return F.md5(norm_text(col).cast("binary"))
+
+
+# --- word tokenization (keep-class [a-zA-Z], lowercased) -------------------
+# Shared by the n-gram/LM/prefix-filter family; per-file copies of the
+# regex or the length floor could desynchronize queries documented as
+# one pipeline.
+
+def tokens_arr(col: str = "text", min_len: int = 2) -> Column:
+    """Filtered token ARRAY (Spark): lower → non-letters to space →
+    split → drop tokens shorter than min_len."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(col, "[^a-zA-Z ]", " ")), " "),
+        lambda t: F.length(t) >= min_len,
+    )
+
+
+def tokens_arr_duck(col: str = "text", min_len: int = 2) -> str:
+    """DuckDB twin of tokens_arr."""
+    return (
+        f"list_filter(string_split(lower(regexp_replace({col}, '[^a-zA-Z ]', ' ', 'g')), ' '),"
+        f" t -> len(t) >= {min_len})"
+    )
+
+
+def bigram_zip_expr(arr: str = "ts", combine: str = "concat(a, ' ', b)") -> str:
+    """Spark SQL expr: zip an array with its tail via two slices whose
+    length is clamped >= 0 — a <2-token array yields an EMPTY bigram
+    list. The index-based sequence(1, size-1) form crashes there:
+    Spark's sequence DESCENDS when start > stop ([1,0]), and arr[1] on
+    a 1-element array throws INVALID_ARRAY_INDEX under Spark 4's
+    default ANSI mode. `combine` sees the pair as (a, b)."""
+    return (
+        f"zip_with(slice({arr}, 1, greatest(size({arr}) - 1, 0)),"
+        f"         slice({arr}, 2, greatest(size({arr}) - 1, 0)),"
+        f"         (a, b) -> {combine})"
+    )

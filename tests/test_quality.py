@@ -180,15 +180,27 @@ def test_prefix_filter_recall_equals_bruteforce(spark):
 
     from makerdao_dw_spark.queries.dedup import _PF_T, dedup_prefix_filter_jaccard
 
-    sf_dir = "/root/testdata/sf0.001"
-    got = dedup_prefix_filter_jaccard(spark, sf_dir).count()
+    import os
+
+    # the SMALL corpus on purpose (brute force is O(N^2) sets), but
+    # derived from the suite's corpus root so a relocated tree fails
+    # loudly instead of silently testing stale data
+    from .conftest import SF_DIR
+
+    sf_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    assert os.path.exists(os.path.join(sf_dir, "documents.parquet")), sf_dir
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    want = con.sql(f"""
+    want = set(
+        con.sql(f"""
 WITH toks AS (
     SELECT DISTINCT doc_id, UNNEST(list_filter(
         string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
@@ -198,9 +210,12 @@ WITH toks AS (
     SELECT doc_id, list(DISTINCT token) AS ts, COUNT(DISTINCT token) AS n
     FROM toks GROUP BY doc_id
 )
-SELECT COUNT(*) FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+SELECT a.doc_id, b.doc_id FROM sets a JOIN sets b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
       / (a.n + b.n - len(list_intersect(a.ts, b.ts))) >= {_PF_T}
-""").fetchone()[0]
+""").fetchall()
+    )
     con.close()
-    assert got == want, (got, want)
+    # PAIR-SET equality, not count equality: a lost true pair offset by
+    # a spurious one must not pass
+    assert got == want, (len(got), len(want), (got - want), (want - got))
