@@ -162,3 +162,63 @@ def sample_frames(df: DataFrame, k: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+AUDIO_WIN, AUDIO_HOP = 256, 128
+
+
+def audio_window_features(df: DataFrame) -> DataFrame:
+    """Sliding-window feature extraction for audio payloads: per 256-
+    sample window (hop 128), exact integer energy (sum of squared
+    samples) and peak amplitude — the fan-out stage a speech pipeline
+    runs before VAD/feature models.
+
+    The stub "PCM" is the payload's unsigned bytes (deterministic, so
+    the registered query carries a FULL DuckDB oracle proving the Arrow
+    plumbing end-to-end); real torchaudio/librosa decode drops into the
+    same batch iterator with every shape unchanged. NumPy-vectorized
+    inside each Arrow batch: stride-tricked windows, one matmul-free
+    reduction per batch — no per-sample Python."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if meta["media_type"] != "audio/wav":
+                    continue
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = raw.shape[0]
+                if n < AUDIO_WIN:
+                    continue
+                n_wins = (n - AUDIO_WIN) // AUDIO_HOP + 1
+                idx = (
+                    np.arange(n_wins)[:, None] * AUDIO_HOP
+                    + np.arange(AUDIO_WIN)[None, :]
+                )
+                wins = raw[idx].astype(np.int64)
+                energy = (wins * wins).sum(axis=1)
+                peak = wins.max(axis=1)
+                for w in range(n_wins):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_samples": n,
+                            "win_idx": w,
+                            "energy": int(energy[w]),
+                            "peak": int(peak[w]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_WINDOW_SCHEMA.fields])
+
+    return df.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

@@ -206,3 +206,49 @@ def multimodal_chunk_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+WITH audio AS (
+    SELECT doc_id, text, len(text) AS n
+    FROM documents
+    WHERE doc_id % 3 = 1 AND len(text) >= 256
+), wins AS (
+    SELECT doc_id, n,
+           UNNEST(generate_series(0, (n - 256) // 128)) AS win_idx
+    FROM audio
+)
+SELECT w.doc_id,
+       CAST(w.n AS BIGINT) AS n_samples,
+       CAST(w.win_idx AS INT) AS win_idx,
+       CAST(list_sum(list_transform(generate_series(1, 256),
+            o -> CAST(ascii(substr(a.text, w.win_idx * 128 + o, 1))
+                 * ascii(substr(a.text, w.win_idx * 128 + o, 1)) AS BIGINT)))
+            AS BIGINT) AS energy,
+       CAST(list_max(list_transform(generate_series(1, 256),
+            o -> ascii(substr(a.text, w.win_idx * 128 + o, 1)))) AS INT) AS peak
+FROM wins w JOIN audio a ON w.doc_id = a.doc_id
+ORDER BY w.doc_id, win_idx
+""",
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window audio feature extraction (256-sample windows, hop
+    128): exact integer energy + peak per window, produced by the
+    Arrow-batched, NumPy-vectorized mapInPandas stage
+    (operators/multimodal.py::audio_window_features).
+
+    The stub PCM is the payload's bytes — deterministic, so the DuckDB
+    oracle recomputes the identical integer window math from the text
+    (the corpus is pure ASCII: byte == ascii(char)) and value-checks
+    the WHOLE Arrow path: batch iteration, stride windows, fan-out row
+    production. 100 TB shape: fan-out happens executor-side inside
+    Arrow batches (one window-matrix reduction per batch, no per-sample
+    Python), output is window-count-sized, input never collected."""
+    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    m = attach_fake_payload(d)
+    from ..operators.multimodal import audio_window_features
+
+    return audio_window_features(m).orderBy("doc_id", "win_idx")

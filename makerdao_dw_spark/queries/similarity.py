@@ -557,3 +557,79 @@ def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "approx_dot", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Covariance structure of the embedding space (PCA prep)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_covariance_pairs",
+    oracle=f"""
+WITH el AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(generate_series(1, {DIM})) AS t(i)
+), pairs AS (
+    SELECT a.i AS di, b.i AS dj,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(38,9))) AS sxy,
+           SUM(CAST(ROUND(a.x, 9) AS DECIMAL(38,9))) AS sx,
+           SUM(CAST(ROUND(b.x, 9) AS DECIMAL(38,9))) AS sy
+    FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i < b.i
+    GROUP BY a.i, b.i
+)
+SELECT di, dj, n,
+       ROUND(CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS cov
+FROM pairs
+ORDER BY ABS(ROUND(CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6)) DESC, di, dj
+LIMIT 50
+""",
+    tags=("similarity", "embedding", "covariance", "pca-prep"),
+)
+def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-correlated embedding dimension pairs by |covariance| —
+    the outer-product aggregation that feeds PCA/whitening decisions
+    (strongly covarying dims are redundancy a projection removes before
+    ANN indexing).
+
+    Built-in covar_samp/corr are NOT used: their double accumulators are
+    summation-order-sensitive. Here every product/term is rounded to 9
+    decimals and summed as DECIMAL(38,9) (exact, order-free), cov
+    derived at the end by scalar double ops. Shape at 100 TB: the
+    per-vector pair expansion is dim²/2 = 2016 rows/vector but the
+    aggregation keyspace is exactly those 2016 (i, j) keys — map-side
+    partial aggregation collapses each partition to 2016 rows before
+    the one tiny exchange; nothing is ever vector-count-sized past the
+    scan. Final top-k is TakeOrderedAndProject."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    a = el.select("vec_id", F.col("i").alias("di"), F.col("x").alias("xa"))
+    b = el.select("vec_id", F.col("i").alias("dj"), F.col("x").alias("xb"))
+    dec9 = "decimal(38,9)"
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("xa") * F.col("xb"), 9).cast(dec9)).alias("sxy"),
+            F.sum(F.round("xa", 9).cast(dec9)).alias("sx"),
+            F.sum(F.round("xb", 9).cast(dec9)).alias("sy"),
+        )
+    )
+    cov = F.round(
+        F.col("sxy").cast("double") / F.col("n")
+        - (F.col("sx").cast("double") / F.col("n"))
+        * (F.col("sy").cast("double") / F.col("n")),
+        6,
+    )
+    return (
+        pairs.select("di", "dj", "n", cov.alias("cov"))
+        .orderBy(F.abs(F.col("cov")).desc(), "di", "dj")
+        .limit(50)
+    )
