@@ -390,3 +390,159 @@ def secondary_sort_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = part.mapInPandas(deltas, "user_id BIGINT, event_id BIGINT, delta DOUBLE")
     return out.orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+@query(
+    "event_pattern_match",
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                      WHEN 'click' THEN 'c'
+                                      WHEN 'purchase' THEN 'p'
+                                      WHEN 'signup' THEN 's'
+                                      ELSE 'e' END, ''
+                      ORDER BY ts, event_id) AS path,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       len(path) - len(regexp_replace(path, 'v[^p]*c[^p]*p', '', 'g'))
+         AS matched_len,
+       CASE WHEN regexp_matches(path, 'v[^p]*c[^p]*p') THEN
+            CAST(strpos(path, 'v') AS INT) ELSE NULL END AS first_v_pos,
+       regexp_matches(path, 'v[^p]*c[^p]*p') AS converted
+FROM seq
+ORDER BY user_id
+""",
+    tags=("analytics", "pattern", "match-recognize"),
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE-style sequence pattern detection, which Spark
+    lacks natively, expressed as ordered path-string construction +
+    regex: per user, the event stream becomes a compact symbol string
+    (deterministically ordered by (ts, event_id)) and the funnel
+    pattern view →(no purchase between)→ click →…→ purchase is a plain
+    regex over it.
+
+    Shape at 100 TB: ONE shuffle on user_id; the per-user path is
+    bounded by per-user activity (cap with slice() for whale users);
+    regex evaluation is codegen'd JVM work, rows out = |users|. The
+    Spark path-string is built with array_sort over (ts, event_id,
+    sym) structs + array_join — no UDF, no MATCH_RECOGNIZE engine
+    needed for linear-pattern funnels."""
+    e = _t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        e.select("user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["sym"]), ""
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    pat = "v[^p]*c[^p]*p"
+    return seq.select(
+        "user_id",
+        "n_events",
+        (
+            F.length("path") - F.length(F.regexp_replace("path", pat, ""))
+        ).alias("matched_len"),
+        F.when(
+            F.col("path").rlike(pat), F.instr(F.col("path"), "v").cast("int")
+        ).alias("first_v_pos"),
+        F.col("path").rlike(pat).alias("converted"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-map (applyInPandas over a COGROUP): the two-sided Arrow API
+# --------------------------------------------------------------------------
+@query(
+    "cogroup_order_event_stats",
+    oracle="""
+WITH eo AS (
+    SELECT user_id AS k, COUNT(*) AS n_events, MIN(ts) AS first_event_ts
+    FROM events GROUP BY user_id
+), oo AS (
+    SELECT o_custkey AS k, COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order_ts
+    FROM orders GROUP BY o_custkey
+), pre AS (
+    SELECT e.user_id AS k, COUNT(*) AS n_events_before_first_order
+    FROM events e JOIN oo ON e.user_id = oo.k
+    WHERE e.ts < oo.first_order_ts
+    GROUP BY e.user_id
+)
+SELECT COALESCE(eo.k, oo.k) AS k,
+       COALESCE(oo.n_orders, 0) AS n_orders,
+       COALESCE(eo.n_events, 0) AS n_events,
+       COALESCE(pre.n_events_before_first_order, 0) AS n_events_before_first_order
+FROM eo FULL OUTER JOIN oo ON eo.k = oo.k
+LEFT JOIN pre ON COALESCE(eo.k, oo.k) = pre.k
+ORDER BY k
+""",
+    tags=("cogroup", "applyInPandas", "arrow"),
+)
+def cogroup_order_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-map Arrow surface: `df.groupBy(k).cogroup(other.
+    groupBy(k)).applyInPandas(...)` hands each key's rows from BOTH
+    tables to one pandas function — the API for per-key logic that
+    needs two aligned inputs (custom as-of merges, per-entity
+    reconciliation) without a pre-join.
+
+    The pandas body computes per-customer order/event counts and how
+    many events precede the first order — all exact integers, so the
+    DuckDB oracle value-checks the whole cogroup round-trip (both
+    sides' Arrow batches, empty-side keys included via the full-outer
+    cogroup semantics). 100 TB shape: one hash shuffle per side on the
+    shared key (identical to the join it replaces), per-key pandas work
+    bounded by per-customer activity."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderdate"
+    )
+
+    def stats(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        n_events = len(events_pdf)
+        n_orders = len(orders_pdf)
+        if n_orders and n_events:
+            first_order = orders_pdf["o_orderdate"].min()
+            n_pre = int((events_pdf["ts"] < first_order).sum())
+        else:
+            n_pre = 0
+        return pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "n_orders": n_orders,
+                    "n_events": n_events,
+                    "n_events_before_first_order": n_pre,
+                }
+            ]
+        )
+
+    out_schema = (
+        "k bigint, n_orders bigint, n_events bigint, n_events_before_first_order bigint"
+    )
+    return (
+        e.groupBy("k")
+        .cogroup(o.groupBy("k"))
+        .applyInPandas(stats, out_schema)
+        .orderBy("k")
+    )
