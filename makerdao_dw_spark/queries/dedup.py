@@ -681,29 +681,39 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys), UNION dedups the pairs found by both halves; production
     would add the same bucket-size cap as LSH_BUCKET_CAP."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+    # ONE evaluation of the signature pipeline: both 16-bit halves
+    # explode into (half, k) bucket rows, so the two half-joins become
+    # ONE self-join on the SAME (half, k) exchange — AQE dedupes the
+    # two identical sides into a ReusedExchange (the tfidf trick); the
+    # naive a_lo/b_lo/a_hi/b_hi formulation evaluated md5-per-token 4x.
     keyed = d.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")).select(
         "doc_id",
         "simhash",
-        (F.col("simhash") % 65536).alias("b_lo"),
-        F.expr("simhash div 65536").alias("b_hi"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("half"),
+                    (F.col("simhash") % 65536).alias("k"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("half"),
+                    F.expr("simhash div 65536").alias("k"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.half", "b.k")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "half", "k"
     )
-    a_lo = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b_lo"
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "half", "k"
     )
-    b_lo = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "b_lo"
+    cand = (
+        a.join(b, ["half", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
     )
-    a_hi = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "b_hi"
-    )
-    b_hi = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "b_hi"
-    )
-    pairs_lo = a_lo.join(b_lo, "b_lo").filter(F.col("doc_a") < F.col("doc_b"))
-    pairs_hi = a_hi.join(b_hi, "b_hi").filter(F.col("doc_a") < F.col("doc_b"))
-    cand = pairs_lo.select("doc_a", "doc_b", "sig_a", "sig_b").union(
-        pairs_hi.select("doc_a", "doc_b", "sig_a", "sig_b")
-    ).distinct()
     ham = F.expr("bit_count(sig_a ^ sig_b)").cast("int")
     return (
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
@@ -811,11 +821,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Prefix-filtering set-similarity join (PPJoin-style, the LSH alternative)
 # --------------------------------------------------------------------------
 # Jaccard threshold as an exact rational (prefix length needs exact
-# integer ceil(t*n)). 9/10 because the synthetic corpus's token SETS
-# overlap heavily (small shared vocab): lower thresholds match most of
-# the corpus to itself, making the prefix filter vacuous as a demo and
-# the result set pair-quadratic.
-_PF_NUM, _PF_DEN = 9, 10
+# integer ceil(t*n)). The set elements are word-3-gram SHINGLES, not
+# tokens: the synthetic corpus draws every doc from one small
+# vocabulary, so token SETS are all near-identical (Jaccard >= 0.6 for
+# ~half of all pairs — 619k pairs at sf0.1, which made both the verify
+# join and the output pair-quadratic); shingle sets separate the 25
+# true near-dup pairs (>= 0.8) from everything else (< 0.3) — the same
+# reason the MinHash pipeline shingles before hashing.
+_PF_NUM, _PF_DEN = 4, 5
 _PF_T = _PF_NUM / _PF_DEN
 
 
@@ -823,17 +836,18 @@ _PF_T = _PF_NUM / _PF_DEN
     "dedup_prefix_filter_jaccard",
     oracle=f"""
 WITH toks AS (
-    SELECT DISTINCT doc_id, UNNEST({tokens_arr_duck('text', 3)}) AS token
+    SELECT DISTINCT doc_id, UNNEST({_D_SHINGLES}) AS token
     FROM documents
 ), tdf AS (
     SELECT token, COUNT(*) AS df FROM toks GROUP BY token
-), trank AS (
-    SELECT token, ROW_NUMBER() OVER (ORDER BY df, token) AS rnk FROM tdf
 ), ranked AS (
-    SELECT t.doc_id, t.token, r.rnk,
-           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.rnk) AS pos,
+    -- per-doc ordering under the global (df, token) total order: no
+    -- materialized global rank (a single-partition window at scale) —
+    -- each doc just sorts its own tokens by rarity
+    SELECT t.doc_id, t.token,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos,
            COUNT(*) OVER (PARTITION BY t.doc_id) AS n_toks
-    FROM toks t JOIN trank r ON t.token = r.token
+    FROM toks t JOIN tdf d ON t.token = d.token
 ), prefix AS (
     -- p = n - ceil(t*n) + 1 in EXACT integer math (t = 9/10):
     -- the float form floor((1-t)*n)+1 under-counts by 1 whenever t*n
@@ -862,29 +876,33 @@ ORDER BY doc_a, doc_b
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs principle) — the deterministic alternative to
-    MinHash-LSH: two token sets with Jaccard >= t MUST share a token
-    among each one's floor((1-t)*n)+1 globally-rarest tokens, so the
-    candidate join only touches those prefix tokens. No probabilistic
-    recall loss, no signatures.
+    MinHash-LSH: two shingle sets with Jaccard >= t MUST share an
+    element among each one's n - ceil(t*n) + 1 globally-rarest, so the
+    candidate join only touches those prefix elements. No probabilistic
+    recall loss, no signatures. Same word-3-gram shingle sets as the
+    MinHash pipeline (and for the same reason: token sets over a small
+    shared vocabulary are all near-identical — not a dup signal).
 
-    100 TB shape: the global rarity order is a vocabulary-sized rank
-    (broadcast); prefix tokens are by construction the LOW-df tokens,
+    100 TB shape: the rarity order is the (df, token) total order,
+    applied per-doc (the df table broadcasts; no materialized global
+    rank, which would funnel the vocabulary through one partition);
+    prefix tokens are by construction the LOW-df tokens,
     so the candidate equi-join's key distribution is anti-skewed (rare
     keys -> tiny buckets — the frequency-ordering trick is exactly what
     makes this scale); verification joins the full sorted sets only for
     surviving pairs. All equi-joins, one window per side."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select(
-        "doc_id", F.explode(tokens_arr("text", 3)).alias("token")
+        "doc_id", F.explode(shingles_expr("text")).alias("token")
     ).distinct()
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    trank = tdf.select(
-        "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("rnk")
+    # no global rank: the rarity TOTAL ORDER (df, token) is applied
+    # inside each doc's window — the global row_number formulation
+    # funnels the whole vocabulary through one partition at scale
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "token")
     w_n = Window.partitionBy("doc_id")
     ranked = (
-        toks.join(F.broadcast(trank), "token")
+        toks.join(F.broadcast(tdf), "token")
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n_toks", F.count(F.lit(1)).over(w_n))
     )

@@ -325,24 +325,26 @@ bg AS (
     FROM toks WHERE len(ts) >= 2
 ), db AS (
     SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+), db2 AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS occ FROM db GROUP BY doc_id, w1, w2
 ), c2 AS (
-    SELECT w1, w2, COUNT(*) AS n2 FROM db GROUP BY w1, w2
+    SELECT w1, w2, SUM(occ) AS n2 FROM db2 GROUP BY w1, w2
 ), c1 AS (
-    SELECT w1, COUNT(*) AS n1 FROM db GROUP BY w1
+    SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
 ), v AS (
-    SELECT COUNT(DISTINCT w1) AS vocab FROM db
+    SELECT COUNT(*) AS vocab FROM c1
 ), scored AS (
-    SELECT d.doc_id,
-           CAST(ROUND(ln((c2.n2 + 1) / CAST(c1.n1 + v.vocab AS DOUBLE)), 6)
-                AS DECIMAL(38,6)) AS lp
-    FROM db d
+    SELECT d.doc_id, d.occ,
+           CAST(CAST(ROUND(ln((c2.n2 + 1) / CAST(c1.n1 + v.vocab AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) * d.occ AS DECIMAL(38,6)) AS lp_tot
+    FROM db2 d
     JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
     JOIN c1 ON d.w1 = c1.w1
     CROSS JOIN v
 )
 SELECT doc_id,
-       COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp_tot) AS DOUBLE) / SUM(occ), 6) AS avg_logprob
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
@@ -356,13 +358,15 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen (gibberish and boilerplate score low) that needs no external
     model.
 
-    Shapes at 100 TB: ONE tokenization feeds doc bigrams; the model is
-    two aggregations over (w1,w2) and (w1) — vocab²-bounded, far smaller
-    than the corpus; scoring re-joins the model on uniform token keys
-    (broadcast when the model fits, hash join otherwise); V is a 1-row
-    broadcast. Determinism: each log is rounded to 6 decimals and summed
-    as DECIMAL(38,6) — arrival order can never flip a bit (ln inputs are
-    exact-integer ratios, identical in both engines)."""
+    Shapes at 100 TB: the corpus is tokenized ONCE — everything hangs
+    off the per-(doc, w1, w2) occurrence aggregate db2: the scoring
+    probe consumes db2 directly (model broadcast, so no reshuffle) and
+    the whole model chain derives from db2's rollups (c2 = per-bigram
+    totals, c1 = Σ over w2, V = |c1|), so AQE dedupes the two db2
+    subtrees into one ReusedExchange. Determinism: each log is rounded
+    to 6 decimals, weighted by the exact integer occurrence count and
+    summed as DECIMAL(38,6) — arrival order can never flip a bit (ln
+    inputs are exact-integer ratios, identical in both engines)."""
     configure(spark)
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", tokens_arr("text", 2).alias("ts"))
@@ -372,28 +376,24 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(bigram_zip_expr("ts", "struct(a AS w1, b AS w2)"))
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2")
-    c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = db.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = F.broadcast(db.agg(F.countDistinct("w1").alias("vocab")))
-    scored = (
-        db.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
-        .crossJoin(v)
-        .select(
-            "doc_id",
-            F.round(
-                F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vocab")).cast("double")),
-                6,
-            )
-            .cast("decimal(38,6)")
-            .alias("lp"),
-        )
+    db2 = db.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
+    c2 = db2.groupBy("w1", "w2").agg(F.sum("occ").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    v = F.broadcast(c1.agg(F.count(F.lit(1)).alias("vocab")))
+    model = F.broadcast(c2.join(c1, "w1").crossJoin(v))
+    lp = F.round(
+        F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vocab")).cast("double")), 6
+    ).cast("decimal(38,6)")
+    scored = db2.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        "occ",
+        (lp * F.col("occ")).cast("decimal(38,6)").alias("lp_tot"),
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            F.sum("occ").alias("n_bigrams"),
+            F.round(F.sum("lp_tot").cast("double") / F.sum("occ"), 6).alias(
                 "avg_logprob"
             ),
         )

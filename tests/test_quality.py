@@ -194,6 +194,9 @@ def test_prefix_filter_recall_equals_bruteforce(spark):
         for r in dedup_prefix_filter_jaccard(spark, sf_dir).collect()
     }
 
+    from makerdao_dw_spark.operators.text_features import shingles_sql_duckdb
+
+    sh = shingles_sql_duckdb("text")
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
@@ -201,14 +204,9 @@ def test_prefix_filter_recall_equals_bruteforce(spark):
     )
     want = set(
         con.sql(f"""
-WITH toks AS (
-    SELECT DISTINCT doc_id, UNNEST(list_filter(
-        string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
-        t -> len(t) >= 3)) AS token
+WITH sets AS (
+    SELECT doc_id, list_distinct({sh}) AS ts, len(list_distinct({sh})) AS n
     FROM documents
-), sets AS (
-    SELECT doc_id, list(DISTINCT token) AS ts, COUNT(DISTINCT token) AS n
-    FROM toks GROUP BY doc_id
 )
 SELECT a.doc_id, b.doc_id FROM sets a JOIN sets b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
