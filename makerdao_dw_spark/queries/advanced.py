@@ -508,7 +508,13 @@ def cogroup_order_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides' Arrow batches, empty-side keys included via the full-outer
     cogroup semantics). 100 TB shape: one hash shuffle per side on the
     shared key (identical to the join it replaces), per-key pandas work
-    bounded by per-customer activity."""
+    bounded by per-customer activity.
+
+    COST NOTE (measured, SCALE.md): cogroup pays one Python function
+    call per key (~3 ms) — key-count-bound, not data-bound (1.14x wall
+    at 10x data). Computations expressible as joins+aggregates (like
+    this oracle) should use them; cogroup is for per-key logic that
+    genuinely needs pandas on BOTH inputs."""
     import pandas as pd
 
     e = _t(spark, sf_dir, "events").select(
