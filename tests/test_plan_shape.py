@@ -521,3 +521,35 @@ def test_corpus_pipeline_is_one_scan_two_shuffles(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("FileScan parquet") == 1, p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_lm_bigram_tokenizes_once(spark):
+    """lm_bigram_doc_score: the scoring probe and the model chain both
+    hang off the per-(doc,w1,w2) occurrence aggregate — AQE must dedupe
+    the two subtrees into a ReusedExchange so the corpus is tokenized
+    ONCE (the naive model-from-raw formulation scanned 4x)."""
+    df = run(spark, "lm_bigram_doc_score")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+
+
+def test_simhash_hamming_single_signature_pass(spark):
+    """dedup_simhash_hamming: both 16-bit halves explode into one
+    (half, k) bucket stream, so the self-join's two sides are the SAME
+    exchange — ReusedExchange at runtime; the md5-per-token signature
+    pipeline must not evaluate per join side."""
+    df = run(spark, "dedup_simhash_hamming")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+
+
+def test_prefix_filter_reuses_shingle_exchange(spark):
+    """dedup_prefix_filter_jaccard: tdf/ranked/sets all derive from the
+    distinct (doc_id, shingle) aggregate — its exchange must be reused
+    at runtime, not recomputed per consumer."""
+    df = run(spark, "dedup_prefix_filter_jaccard")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
