@@ -152,8 +152,8 @@ def xml_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k
+       CAST(SUM(CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT)) AS INT) AS min_k
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
@@ -161,11 +161,15 @@ GROUP BY event_type ORDER BY event_type
 
 @query("variant_json_extract", oracle=_VARIANT_ORACLE, tags=("variant", "json", "semi-structured"))
 def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-type column pattern: `parse_json` -> VARIANT -> `variant_get`
-    with a typed path ('$.k' as int) -> aggregate."""
+    """Open-type column pattern: `try_parse_json` -> VARIANT ->
+    `variant_get` with a typed path ('$.k' as int) -> aggregate.
+    try_parse_json, not parse_json: malformed/empty props rows become
+    NULL variants instead of failing the whole job (oracle twin:
+    TRY_CAST(props AS JSON)) — ingest pipelines always contain a few
+    broken JSON blobs."""
     ev = _t(spark, sf_dir, "events")
     k = ev.select(
-        "event_type", F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+        "event_type", F.variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
     )
     return (
         k.groupBy("event_type")

@@ -313,7 +313,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram_order_values",
     oracle="""
 WITH bounds AS (SELECT MIN(o_totalprice) lo, MAX(o_totalprice) hi FROM orders)
-SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+SELECT CASE WHEN hi = lo THEN 0
+            ELSE LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+       END AS bucket,
        COUNT(*) AS n,
        ROUND(MIN(o_totalprice), 2) AS bucket_min,
        ROUND(MAX(o_totalprice), 2) AS bucket_max
@@ -332,10 +334,19 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(bounds))
         .withColumn(
             "bucket",
-            F.least(
-                F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
-                F.lit(19),
-            ).cast("long"),
+            # constant column (hi = lo) -> bin width 0: everything in
+            # bucket 0 instead of an ANSI DIVIDE_BY_ZERO
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("o_totalprice") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 20.0)
+                    ),
+                    F.lit(19),
+                )
+            )
+            .cast("long"),
         )
         .groupBy("bucket")
         .agg(
@@ -488,8 +499,8 @@ WITH s AS (
 )
 SELECT event_type, n,
        ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
-       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS variance,
-       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 6) AS stddev
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / NULLIF(n - 1, 0), 4) AS variance,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / NULLIF(n - 1, 0)), 6) AS stddev
 FROM s ORDER BY event_type
 """,
     tags=("statistics", "moments"),
@@ -517,7 +528,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v18 * v18).alias("s2"),
     )
     s1d, s2d, nd = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("n")
-    var = (s2d - s1d * s1d / nd) / (nd - 1)
+    # sample variance is UNDEFINED at n = 1: NULL (matches var_samp), not
+    # a DIVIDE_BY_ZERO throw under ANSI mode
+    var = (s2d - s1d * s1d / nd) / F.nullif(nd - 1, F.lit(0))
     return s.select(
         "event_type",
         "n",
@@ -729,6 +742,7 @@ WITH keyed AS (
     SELECT o_orderkey, o_totalprice,
            {_ES_KEY_SQL} AS es_key
     FROM orders
+    WHERE o_totalprice > 0
 )
 SELECT o_orderkey, o_totalprice, ROUND(es_key, 9) AS es_key
 FROM keyed
@@ -753,6 +767,9 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one scan, k rows out.
     """
     o = _t(spark, sf_dir, "orders")
+    # zero/negative weight = zero inclusion probability: excluded BEFORE
+    # the key (w = 0 would divide by zero under ANSI; DuckDB yields NULL)
+    o = o.filter(F.col("o_totalprice") > 0)
     es_key = F.expr(_ES_KEY_SQL)
     return (
         o.select("o_orderkey", "o_totalprice", F.round(es_key, 9).alias("es_key"))
@@ -943,6 +960,7 @@ WITH keyed AS (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
            {_ES_KEY_SQL} AS es_key
     FROM orders
+    WHERE o_totalprice > 0
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                  ORDER BY es_key DESC, o_orderkey) AS rk
@@ -964,7 +982,7 @@ def weighted_sample_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank<=k filter as WindowGroupLimit, so each reducer keeps a k-row
     heap per group instead of materializing and sorting whole strata —
     the per-group analog of TakeOrderedAndProject."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     es_key = F.expr(_ES_KEY_SQL)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("es_key_raw").desc(), "o_orderkey"

@@ -370,7 +370,7 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        CAST(o_totalprice AS DECIMAL(38,6)) AS total,
-       CAST(o_totalprice AS DOUBLE) / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE) AS share,
+       CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 0) AS share,
        CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE) AS global_max
 FROM orders
 """,
@@ -382,9 +382,12 @@ def global_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast(DEC).alias("total"),
-        (F.col("o_totalprice").cast("double") / F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")).alias(
-            "share"
-        ),
+        # NULLIF(total, 0): share is undefined when the corpus total is
+        # zero — NULL, not an ANSI DIVIDE_BY_ZERO (DuckDB would emit NULL)
+        (
+            F.col("o_totalprice").cast("double")
+            / F.nullif(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), F.lit(0.0))
+        ).alias("share"),
         F.max(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("global_max"),
     )
 

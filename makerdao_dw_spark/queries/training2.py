@@ -160,15 +160,15 @@ WITH toks AS (
 )
 SELECT doc_id,
        len(w) AS n_words,
-       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_word_frac,
+       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0), 6) AS uniq_word_frac,
        ROUND(CAST(list_aggregate(list_transform(list_distinct(w),
                     d -> len(list_filter(w, x -> x = d))), 'max') AS DOUBLE)
-             / len(w), 6) AS top_word_frac,
+             / NULLIF(len(w), 0), 6) AS top_word_frac,
        ROUND(CAST(list_aggregate(list_transform(list_distinct(g2),
                     d -> len(list_filter(g2, x -> x = d))), 'max') AS DOUBLE)
-             / len(g2), 6) AS top_2gram_frac,
+             / NULLIF(len(g2), 0), 6) AS top_2gram_frac,
        ROUND(CAST(len(list_filter(g3, g -> len(list_filter(g3, x -> x = g)) >= 2))
-                  AS DOUBLE) / len(g3), 6) AS dup_3gram_frac
+                  AS DOUBLE) / NULLIF(len(g3), 0), 6) AS dup_3gram_frac
 FROM grams
 ORDER BY doc_id
 """,
@@ -205,7 +205,9 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     def _frac(num: str, den: str) -> F.Column:
-        return F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}"), 6)
+        # NULLIF: a 0-token doc has no defined ratios (NULL, not an
+        # ANSI DIVIDE_BY_ZERO throw) — mirrored in the oracle
+        return F.round(F.expr(f"CAST({num} AS DOUBLE) / nullif({den}, 0)"), 6)
 
     return grams.select(
         "doc_id",
