@@ -70,11 +70,14 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     # strict '<': at equal t the state row must NOT be visible to the
-    # probe, so probes sort BEFORE states on ties (is_probe DESC)...
-    # LOCF then only sees strictly-earlier states.
+    # probe, so probes sort BEFORE states on ties (is_probe DESC puts
+    # probe=1 first) — LOCF then only sees strictly-earlier states.
+    # (Caught by the degenerate-corpus oracle compare: the previous ASC
+    # ordering put the state first, so an event at EXACTLY the order's
+    # timestamp leaked into the match while DuckDB's ASOF excluded it.)
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("t"), F.col("is_probe").asc())
+        .orderBy(F.col("t"), F.col("is_probe").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     merged = e.unionByName(o).withColumn(

@@ -579,14 +579,17 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     oracle="""
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+SELECT event_id, CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT) AS k,
        event_type
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+WHERE CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT) > 50
 """,
     tags=("json",),
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-plane JSON path extraction. Spark's get_json_object is NULL on
+    malformed input; the oracle needs TRY_CAST(props AS JSON) for the
+    same tolerance (bare json_extract_string throws on e.g. '')."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return e.select("event_id", k.alias("k"), "event_type").filter(k > 50)

@@ -55,7 +55,10 @@ def _make_gini_udaf():
             return None
         s0 = sum(xs, Decimal(0))
         if s0 == 0:
-            return 0.0
+            # Gini is UNDEFINED for a zero total (0/0): NULL, matching
+            # the SQL twin where the division yields NULL — returning
+            # 0.0 here diverged from the oracle on an all-zero group
+            return None
         s1 = sum((Decimal(i + 1) * x for i, x in enumerate(xs)), Decimal(0))
         return float(2 * s1 - (n + 1) * s0) / float(n * s0)
 

@@ -105,3 +105,18 @@ def test_runs_on_empty_corpus(spark, empty_dir, name):
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in SKIP_EMPTY))
 def test_runs_on_tiny_degenerate_corpus(spark, tiny_dir, name):
     QUERIES[name](spark, tiny_dir).collect()
+
+
+from makerdao_dw_spark.queries import oracles_dict  # noqa: E402
+
+ORACLES = oracles_dict()
+
+
+@pytest.mark.parametrize("name", sorted(n for n in ORACLES if n not in SKIP_EMPTY))
+def test_tiny_corpus_matches_oracle(spark, tiny_dir, name):
+    """Not just 'runs': Spark and DuckDB must AGREE on the degenerate
+    corpus — catches one-engine-NULL-other-engine-inf/throw divergences
+    that the shipped testdata never exercises."""
+    from .conftest import compare_with_oracle
+
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], tiny_dir)
