@@ -314,3 +314,38 @@ def test_stream_table_reads_directory_shaped_tables(spark, tmp_path):
 
     got = _drain(stream_table(spark, d, "events").groupBy().count(), "complete")
     assert got.collect()[0][0] == n
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the bounded-state form of
+    streaming dedup — duplicate event_ids arriving within the watermark
+    horizon are dropped, and (unlike plain dropDuplicates) the key
+    state EXPIRES once the watermark passes, so a 100 TB stream's dedup
+    state is horizon-bounded instead of unbounded."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from makerdao_dw_spark.streaming.jobs import _drain
+    from makerdao_dw_spark.streaming.sources import stream_table
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = {
+        "event_id": [1, 1, 2, 2, 3],
+        "ts": [t0, t0 + datetime.timedelta(minutes=5), t0, t0, t0 + datetime.timedelta(hours=1)],
+        "user_id": [10, 10, 20, 20, 30],
+        "event_type": ["click"] * 5,
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    }
+    d = str(tmp_path)
+    pq.write_table(pa.table(rows), os.path.join(d, "events.parquet"))
+
+    ev = stream_table(spark, d, "events")
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _drain(deduped.select("event_id"), "append")
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3], got
