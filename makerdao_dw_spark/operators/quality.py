@@ -101,7 +101,13 @@ def run_suite(df: DataFrame, scalar_checks: list[tuple[str, Column]], extra: lis
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for i, (_, viol) in enumerate(scalar_checks):
-        aggs.append(F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"__c{i}"))
+        # coalesce: zero rows checked = ZERO violations, not NULL (SUM
+        # over an empty table is NULL on both engines)
+        aggs.append(
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__c{i}")
+        )
     row = df.agg(*aggs)
     scalar = row.select(
         F.explode(

@@ -45,10 +45,12 @@ ORDER BY o.o_orderkey
 def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (latest-prior) join via union + LOCF window.
 
-    DuckDB ties ASOF to strict `<`; we replicate by ordering state rows
-    before probe rows at equal timestamps... (events have sub-second
-    ts, orders are midnight-ish, so equal keys are the edge case, and
-    `is_probe` ASC puts state first only when it is strictly earlier).
+    DuckDB ties ASOF to strict `<`; we replicate by ordering PROBE rows
+    before state rows at equal timestamps (`is_probe` DESC), so the
+    probe's preceding-rows frame sees only strictly-earlier states —
+    an event at exactly the order's timestamp is NOT a match (pinned by
+    the degenerate-corpus oracle compare, which caught the inverted
+    ordering).
     """
     # window-first plan: skip auto-spread (see window_rank_lag note)
     e = configure(spark) and load_table(spark, sf_dir, "events", spread=False)

@@ -33,7 +33,7 @@ from ..operators.text_features import (
 )
 from ..session import configure, load_table
 from .registry import query
-from .text_common import NORM_HASH_DUCK, norm_hash, tokens_arr, tokens_arr_duck
+from .text_common import NORM_HASH_DUCK, norm_hash
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 
@@ -677,9 +677,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every join is an equi-join on a bucket key; the distance is
     bit_count(xor) — exact integer, no float anywhere. 100 TB shape:
-    two bucket self-joins bounded by bucket occupancy (16-bit uniform
-    keys), UNION dedups the pairs found by both halves; production
-    would add the same bucket-size cap as LSH_BUCKET_CAP."""
+    ONE self-join over the exploded (half, k) bucket rows (both sides
+    the same exchange — ReusedExchange, plan-pinned), bounded by bucket
+    occupancy (16-bit uniform keys); DISTINCT dedups pairs that share
+    both halves; production would add the same bucket-size cap as
+    LSH_BUCKET_CAP."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     # ONE evaluation of the signature pipeline: both 16-bit halves
     # explode into (half, k) bucket rows, so the two half-joins become
@@ -849,9 +851,10 @@ WITH toks AS (
            COUNT(*) OVER (PARTITION BY t.doc_id) AS n_toks
     FROM toks t JOIN tdf d ON t.token = d.token
 ), prefix AS (
-    -- p = n - ceil(t*n) + 1 in EXACT integer math (t = 9/10):
+    -- p = n - ceil(t*n) + 1 in EXACT integer math (t = _PF_NUM/_PF_DEN):
     -- the float form floor((1-t)*n)+1 under-counts by 1 whenever t*n
-    -- is an integer ((1-0.9)*10 = 0.999... -> floor 0), losing recall
+    -- is an integer (e.g. t=0.8, n=5: (1-0.8)*5 = 0.999... -> floor 0),
+    -- losing recall
     SELECT doc_id, token FROM ranked
     WHERE pos <= n_toks - (({_PF_NUM} * n_toks + {_PF_DEN} - 1) // {_PF_DEN}) + 1
 ), cand AS (
@@ -884,9 +887,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared vocabulary are all near-identical — not a dup signal).
 
     100 TB shape: the rarity order is the (df, token) total order,
-    applied per-doc (the df table broadcasts; no materialized global
-    rank, which would funnel the vocabulary through one partition);
-    prefix tokens are by construction the LOW-df tokens,
+    applied per-doc — no materialized global rank (which would funnel
+    the vocabulary through one partition), and no forced broadcast of
+    the df table (shingle-keyed = corpus-proportional; AQE broadcasts
+    only when it fits); prefix elements are by construction the LOW-df
+    shingles,
     so the candidate equi-join's key distribution is anti-skewed (rare
     keys -> tiny buckets — the frequency-ordering trick is exactly what
     makes this scale); verification joins the full sorted sets only for
@@ -898,16 +903,19 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # no global rank: the rarity TOTAL ORDER (df, token) is applied
     # inside each doc's window — the global row_number formulation
-    # funnels the whole vocabulary through one partition at scale
+    # funnels the whole vocabulary through one partition at scale.
+    # No broadcast hint on tdf: it is SHINGLE-keyed (corpus-
+    # proportional, unlike a word vocabulary) — AQE picks broadcast
+    # only when it actually fits
     w_doc = Window.partitionBy("doc_id").orderBy("df", "token")
     w_n = Window.partitionBy("doc_id")
     ranked = (
-        toks.join(F.broadcast(tdf), "token")
+        toks.join(tdf, "token")
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n_toks", F.count(F.lit(1)).over(w_n))
     )
-    # p = n - ceil(t*n) + 1 via exact integer math (t = 9/10) — the
-    # float floor((1-t)*n)+1 form loses a pair when t*n is an integer
+    # p = n - ceil(t*n) + 1 via exact integer math (t = _PF_NUM/_PF_DEN)
+    # — the float floor((1-t)*n)+1 form loses a pair when t*n is an integer
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n_toks") - F.expr(f"({_PF_NUM} * n_toks + {_PF_DEN} - 1) div {_PF_DEN}") + 1

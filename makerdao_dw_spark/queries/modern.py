@@ -284,6 +284,7 @@ SELECT 'events.parquet' AS file_name,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id
 FROM events
+HAVING COUNT(*) > 0
 """,
     tags=("modern", "provenance", "metadata-columns"),
 )

@@ -276,30 +276,50 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (envelope pinned in tests/test_sketches.py)."""
     ests = sketch_kll_value_quantiles_raw(spark, sf_dir)
     e = _t(spark, sf_dir, "events")
+    # the ALL row is a GLOBAL aggregate (always exactly one row, even
+    # on an empty corpus — the oracle's UNION ALL branch always emits
+    # one), NOT an 'ALL'-labeled union of values (which vanishes when
+    # the corpus is empty and diverges from the oracle)
+    per_seg = e.groupBy(F.col("event_type").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    agg_all = e.agg(
+        F.lit("ALL").alias("segment"), F.count(F.lit(1)).alias("n_rows")
+    )
     vals = e.select(F.col("event_type").alias("segment"), "value").unionByName(
         e.select(F.lit("ALL").alias("segment"), "value")
     )
-    joined = vals.join(F.broadcast(ests), "segment")
-    agg = joined.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            (
-                F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
-                / F.count(F.lit(1))
-            ).alias(f"frac_{p}")
-            for p in ("p25", "p50", "p90", "p99")
-        ],
+    fracs = (
+        vals.join(F.broadcast(ests), "segment")
+        .groupBy("segment")
+        .agg(
+            *[
+                (
+                    F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias(f"frac_{p}")
+                for p in ("p25", "p50", "p90", "p99")
+            ],
+        )
     )
+    agg = per_seg.unionByName(agg_all).join(fracs, "segment", "left")
     # tolerance = max(5%, 1/n): the KLL rank envelope is 5% of rank,
     # but empirical rank is quantized in steps of 1/n — below n=20 the
     # discrete resolution dominates (n=1: ANY estimate is within one
-    # rank step, so the claim is vacuously true, matching the oracle)
-    tol = F.greatest(F.lit(0.05), F.lit(1.0) / F.col("n_rows"))
+    # rank step, so the claim is vacuously true, matching the oracle).
+    # NULLIF guards n=0 (empty corpus): fracs are NULL there and the
+    # claim coalesces to vacuous TRUE, like the oracle's literal.
+    tol = F.greatest(
+        F.lit(0.05), F.lit(1.0) / F.nullif(F.col("n_rows"), F.lit(0))
+    )
     return agg.select(
         "segment",
         "n_rows",
         *[
-            (F.abs(F.col(f"frac_{p}") - F.lit(target)) <= tol).alias(f"rank_ok_{p}")
+            F.coalesce(
+                F.abs(F.col(f"frac_{p}") - F.lit(target)) <= tol,
+                F.col("n_rows") == 0,
+            ).alias(f"rank_ok_{p}")
             for p, target in (("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
         ],
     ).orderBy("segment")

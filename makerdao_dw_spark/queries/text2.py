@@ -380,7 +380,11 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = db2.groupBy("w1", "w2").agg(F.sum("occ").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     v = F.broadcast(c1.agg(F.count(F.lit(1)).alias("vocab")))
-    model = F.broadcast(c2.join(c1, "w1").crossJoin(v))
+    # no forced broadcast of the bigram model: |distinct (w1,w2)| grows
+    # with the corpus for natural text — AQE broadcasts when it fits,
+    # shuffle-joins otherwise; the single-tokenize ReusedExchange only
+    # needs the two db2 subtrees identical, not a broadcast
+    model = c2.join(F.broadcast(c1), "w1").crossJoin(v)
     lp = F.round(
         F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vocab")).cast("double")), 6
     ).cast("decimal(38,6)")

@@ -120,3 +120,31 @@ def test_tiny_corpus_matches_oracle(spark, tiny_dir, name):
     from .conftest import compare_with_oracle
 
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], tiny_dir)
+
+
+# Engine-semantic difference, deliberately NOT papered over: Spark's
+# ROLLUP/CUBE/GROUPING SETS emit NO rows over empty input, while DuckDB
+# (following the standard's treatment of the () grouping set as a global
+# aggregate) emits the grand-total row. Our engine IS Spark — these
+# queries keep Spark semantics, and the divergence class is pinned here
+# instead of hidden by a conditional union branch in four hot queries.
+SKIP_EMPTY_COMPARE = {
+    "rollup_returnflag",
+    "cube_order_stats",
+    "grouping_sets_events",
+    "lang_source_rollup",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in ORACLES if n not in SKIP_EMPTY | SKIP_EMPTY_COMPARE),
+)
+def test_empty_corpus_matches_oracle(spark, empty_dir, name):
+    """Spark and DuckDB must agree on ALL-EMPTY tables too: global
+    aggregates emit exactly one row on both engines, per-group ones
+    emit zero — a divergence here surfaces on any empty partition
+    slice of real data (e.g. a date filter with no matches)."""
+    from .conftest import compare_with_oracle
+
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], empty_dir)
