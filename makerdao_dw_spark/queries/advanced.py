@@ -557,3 +557,75 @@ def cogroup_order_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(stats, out_schema)
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Backward as-of join: each order joined to the customer's FIRST event
+# strictly after it (the mirror primitive — next-touch attribution,
+# "what happened next" analyses)
+# --------------------------------------------------------------------------
+@query(
+    "asof_backward_order_events",
+    oracle="""
+WITH e1 AS (
+    -- one state row per (user, ts): MIN event_id — ASOF tie-breaking
+    -- among equal timestamps is unspecified in both engines, so the
+    -- dedup IS the determinism contract (mirrored in the Spark path)
+    SELECT user_id, ts, MIN(event_id) AS event_id
+    FROM events GROUP BY user_id, ts
+)
+SELECT o.o_orderkey, o.o_custkey,
+       e.event_id AS next_event_id
+FROM orders o
+ASOF LEFT JOIN e1 e
+  ON o.o_custkey = e.user_id AND e.ts > o.o_orderdate
+ORDER BY o.o_orderkey
+""",
+    tags=("asof", "range-join", "backward"),
+)
+def asof_backward_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of (first-following) join via the same union + window
+    formulation as asof_join_order_events, mirrored: FIRST over the
+    FOLLOWING frame instead of LAST over the preceding one. Strict '>':
+    at equal timestamps the state sorts BEFORE the probe (is_probe ASC),
+    so it is excluded from the probe's following-rows frame.
+
+    Same 100 TB shape as the forward as-of: one hash exchange on the
+    key, one sort, linear — no per-probe range scan."""
+    configure(spark)
+    e = (
+        load_table(spark, sf_dir, "events", spread=False)
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_probe"),
+            F.col("event_id").alias("next_event_id"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders", spread=False).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("next_event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_probe").asc(), F.col("next_event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    merged = e.unionByName(o).withColumn(
+        "ev_ff", F.first("next_event_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_probe") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            F.col("ev_ff").alias("next_event_id"),
+        )
+        .orderBy("o_orderkey")
+    )
