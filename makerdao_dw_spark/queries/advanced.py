@@ -33,10 +33,19 @@ _t = query_table  # shared helper (session.py), was a per-module copy
 @query(
     "asof_join_order_events",
     oracle="""
+WITH e1 AS (
+    -- one state row per (user, ts): MAX event_id (+ its event_type) —
+    -- ASOF tie-breaking among equal state timestamps is unspecified in
+    -- both engines, so the dedup IS the determinism contract (mirrored
+    -- in the Spark path; same pattern as asof_backward_order_events)
+    SELECT user_id, ts, MAX(event_id) AS event_id,
+           MAX_BY(event_type, event_id) AS event_type
+    FROM events GROUP BY user_id, ts
+)
 SELECT o.o_orderkey, o.o_custkey,
        e.event_id AS last_event_id, e.event_type AS last_event_type
 FROM orders o
-ASOF LEFT JOIN events e
+ASOF LEFT JOIN e1 e
   ON o.o_custkey = e.user_id AND e.ts < o.o_orderdate
 ORDER BY o.o_orderkey
 """,
@@ -51,6 +60,18 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     an event at exactly the order's timestamp is NOT a match (pinned by
     the degenerate-corpus oracle compare, which caught the inverted
     ordering).
+
+    Determinism contract: MULTIPLE state rows at the same (user_id, ts)
+    are tie-broken by MAX(event_id) — pinned on the Spark side by adding
+    last_event_id to the window orderBy (the frame's final row is then
+    the max-event_id state of the latest strictly-earlier timestamp, and
+    F.last of both payload columns reads that same row), and on the
+    oracle side by the dedup CTE (DuckDB ASOF's tie pick among equal
+    state timestamps is unspecified). Zero extra shuffle — the plan stays
+    one hash exchange (test_plan_shape.test_asof_join_single_shuffle);
+    asof_backward_order_events pins the mirror contract (MIN) the same
+    way. The property test test_semantics_properties.py generates
+    deliberate ties against DuckDB.
     """
     # window-first plan: skip auto-spread (see window_rank_lag note)
     e = configure(spark) and load_table(spark, sf_dir, "events", spread=False)
@@ -77,9 +98,11 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Caught by the degenerate-corpus oracle compare: the previous ASC
     # ordering put the state first, so an event at EXACTLY the order's
     # timestamp leaked into the match while DuckDB's ASOF excluded it.)
+    # last_event_id last in the orderBy: among equal-(t) state rows the
+    # frame's final row is the MAX event_id — the determinism contract.
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("t"), F.col("is_probe").desc())
+        .orderBy(F.col("t"), F.col("is_probe").desc(), F.col("last_event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     merged = e.unionByName(o).withColumn(

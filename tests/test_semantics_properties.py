@@ -51,7 +51,11 @@ def test_asof_strict_lt_matches_duckdb(spark, events, orders):
     od = [(100 + i, u, t) for i, (u, t) in enumerate(orders)]
 
     # --- the engine's union + LOCF formulation (same shape as
-    # asof_join_order_events, reduced to the id columns) ---
+    # asof_join_order_events, reduced to the id columns), INCLUDING the
+    # production determinism contract: last_event_id in the window
+    # orderBy, so among equal-(t) state rows the frame's final row is
+    # the MAX event_id — without it, F.last() over ties is shuffle-order
+    # dependent and this comparison is flaky by construction ---
     e = spark.createDataFrame(
         [(u, t, 0, eid, None) for eid, u, t in ev],
         "k long, t timestamp, is_probe int, last_event_id long, o_orderkey long",
@@ -62,7 +66,7 @@ def test_asof_strict_lt_matches_duckdb(spark, events, orders):
     )
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("t"), F.col("is_probe").desc())
+        .orderBy(F.col("t"), F.col("is_probe").desc(), F.col("last_event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     got = {
@@ -74,10 +78,10 @@ def test_asof_strict_lt_matches_duckdb(spark, events, orders):
         .collect()
     }
 
-    # --- DuckDB native ASOF (strict <), ties on state ts broken by max
-    # event id to mirror the window order (t, is_probe desc, arrival) —
-    # the ENGINE breaks state-ts ties by taking the LAST state row in
-    # (t, event order); pin both to max(event_id) per (user, ts)
+    # --- DuckDB native ASOF (strict <) over the SAME dedup contract:
+    # one state row per (user, ts) with MAX(event_id) — both engines now
+    # implement the pinned determinism contract, so equality is exact,
+    # not a bet on shuffle stability
     con = duckdb.connect()
     con.execute("CREATE TABLE ev(eid BIGINT, u BIGINT, t TIMESTAMP)")
     con.execute("CREATE TABLE od(oid BIGINT, u BIGINT, t TIMESTAMP)")
@@ -100,8 +104,6 @@ def test_asof_strict_lt_matches_duckdb(spark, events, orders):
     }
     con.close()
 
-    # engine tie-break within equal state ts is arrival order (last
-    # wins); reduce the engine result the same way before comparing
     assert got == want, (sorted(got), sorted(want), ev, od)
 
 
