@@ -30,11 +30,16 @@ def stream_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
-    # The file-stream source does NOT recurse into subdirectories: a
-    # table shipped as ONE file (driver testdata) is globbed out of
+    # The file-stream source does NOT recurse into plain subdirectories:
+    # a table shipped as ONE file (driver testdata) is globbed out of
     # sf_dir, but a table written as a part-file DIRECTORY (our scaled
     # corpora, any Spark-written table) must be watched directly with a
-    # part-file glob or the stream silently drains 0 rows.
+    # part-file glob or the stream silently drains 0 rows. Two verified
+    # non-flat cases (tests/test_streaming.py): Hive-partitioned layouts
+    # (key=value subdirs, the ingest sink's shape) ARE recursed by
+    # Spark's partition discovery and keep the partition column; any
+    # OTHER nesting fails loudly at the batch schema read above
+    # (UNABLE_TO_INFER_SCHEMA) — never a silent 0-row drain.
     if os.path.isdir(path):
         reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
     else:

@@ -316,6 +316,51 @@ def test_stream_table_reads_directory_shaped_tables(spark, tmp_path):
     assert got.collect()[0][0] == n
 
 
+def test_stream_table_reads_hive_partitioned_tables(spark, tmp_path):
+    """The repo's own ingest sink writes partitionBy(...) subdirectories
+    (name.parquet/key=value/part-*.parquet). Spark's file-stream source
+    DOES recurse into key=value partition dirs (partition discovery), so
+    stream_table must yield the full table WITH the partition column —
+    pinned here because an advisory flagged this layout as a suspected
+    silent-0-rows path (it is not; this test keeps it that way)."""
+    from pyspark.sql import functions as F
+
+    from makerdao_dw_spark.streaming.jobs import _drain
+    from makerdao_dw_spark.streaming.sources import stream_table
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = src.count()
+    d = str(tmp_path / "parted")
+    src.withColumn("block_range", F.pmod(F.col("event_id"), F.lit(4))).write.partitionBy(
+        "block_range"
+    ).parquet(os.path.join(d, "events.parquet"))
+
+    df = stream_table(spark, d, "events")
+    assert "block_range" in df.columns  # partition column discovered
+    by_part = {
+        r["block_range"]: r["n"]
+        for r in _drain(
+            df.groupBy("block_range").agg(F.count("*").alias("n")), "complete"
+        ).collect()
+    }
+    assert sum(by_part.values()) == n and len(by_part) == 4
+
+
+def test_stream_table_nested_nonpartition_dir_fails_loudly(spark, tmp_path):
+    """A table dir nested in a NON key=value way (no partition discovery
+    possible) must raise at open time — never silently drain 0 rows."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from makerdao_dw_spark.streaming.sources import stream_table
+
+    d = str(tmp_path / "nested")
+    inner = os.path.join(d, "events.parquet", "nested")
+    spark.range(5).write.parquet(os.path.join(inner, "inner.parquet"))
+    with pytest.raises(AnalysisException):
+        stream_table(spark, d, "events")
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: the bounded-state form of
     streaming dedup — duplicate event_ids arriving within the watermark
