@@ -189,7 +189,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded here and surfaced (band, h, bucket_size) by
     `dedup_minhash_lsh_overflow` — counted, never silently dropped.
     Bucket keys are 128-bit md5 band hashes — uniform, skew-free;
-    the cap also bounds each collect_list buffer."""
+    the cap also bounds each collect_list buffer.
+
+    Measured cost of the pre-collect guard (BENCH_AB_r5.md): ~11% at
+    sf0.1 vs the unguarded r3 plan — the window count forces a sort of
+    band rows. Kept deliberately: at 100 TB one pathological bucket
+    would OOM the aggregation buffer without it."""
     return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
