@@ -57,13 +57,19 @@ def kmeans_fit(
     dim = len(centroids[0])
     for _ in range(max_iter):
         assigned = assign_clusters(df, vec_col, centroids)
+        # cast double BEFORE decimal (float->double is exact) and derive
+        # the mean as ONE double division of the exact decimal sum — the
+        # same two rules every oracle-matched vector aggregate follows
+        # (embedding_centroids_long), so the training loop is replicable
+        # bit-for-bit in DuckDB (ann_ivf_kmeans's unrolled oracle).
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.col("v").cast("decimal(38,12)")) / F.count("*")
-                ).cast("double").alias("m")
+                    F.sum(F.col("v").cast("double").cast("decimal(38,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
             )
             .groupBy("cluster")
             .agg(

@@ -344,23 +344,107 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# ---- unrolled-iteration DuckDB twin of operators/kmeans.py (the same
+# trick as pagerank_copurchase's oracle): the training loop is fully
+# deterministic — lowest-id init, left-fold double distances, lowest-id
+# argmin tie-break, exact decimal per-dimension sums with one double
+# division — so 2 Lloyd iterations unroll into plain CTEs.
+_KM_K = 8
+_KM_ITER = 2
+
+
+def _km_dist2_duck(e: str, c: str) -> str:
+    """Squared L2 as the same left fold Spark's F.aggregate performs:
+    ((0 + t1) + t2) + ... in index order (bit-identical doubles)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))), (acc, t) -> acc + t)"
+    )
+
+
+def _km_assign_duck(src: str, cents: str) -> str:
+    """Nearest-centroid assignment, ties -> lowest cluster id (mirrors
+    array_position(dists, array_min(dists)))."""
+    return f"""SELECT vec_id, e, cluster FROM (
+    SELECT s.vec_id, s.e, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY {_km_dist2_duck('s.e', 'c.c')} ASC, c.cluster ASC) AS rk
+    FROM {src} s CROSS JOIN {cents} c
+) WHERE rk = 1"""
+
+
+def _km_update_duck(assigned: str, prev: str) -> str:
+    """Mean update: exact DECIMAL(38,12) per-dimension sums, ONE double
+    division; empty clusters keep the previous centroid."""
+    return f"""SELECT p.cluster, COALESCE(n.c, p.c) AS c
+FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        SELECT cluster, i - 1 AS pos,
+               CAST(SUM(CAST(e[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM {assigned}, LATERAL (SELECT UNNEST(generate_series(1, {DIM})) AS i) u
+        GROUP BY cluster, i
+    ) GROUP BY cluster
+) n USING (cluster)"""
+
+
+_KM_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE {_NORM_POS_DUCK}
+),
+c0 AS (
+    SELECT cluster, c FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+               e AS c
+        FROM v
+    ) WHERE cluster < {_KM_K}
+),
+a1 AS ({_km_assign_duck('v', 'c0')}),
+c1 AS ({_km_update_duck('a1', 'c0')}),
+a2 AS ({_km_assign_duck('v', 'c1')}),
+c2 AS ({_km_update_duck('a2', 'c1')}),
+fin AS ({_km_assign_duck('v', 'c2')}),
+scored AS (
+    SELECT vec_id, e, cluster,
+           SQRT({_dot_sql_duckdb('e', 'e')}) AS nrm
+    FROM fin
+)
+SELECT a.cluster AS list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) AS cosine
+FROM scored a JOIN scored b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE a.vec_id % 25 = 0
+  AND ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) >= 0.2
+ORDER BY list_id, vec_a, vec_b
+"""
+
+
 @query(
     "ann_ivf_kmeans",
-    oracle=None,  # k-means training is not ANSI-SQL-expressible; the
-    # algorithm is pinned against a NumPy reference in
-    # tests/test_extensions.py::test_kmeans_matches_numpy_reference
+    oracle=_KM_ORACLE,
     tags=("similarity", "ann", "ivf", "kmeans", "iterative"),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with TRAINED coarse centroids (operators/kmeans.py): fit k=8
     on the corpus, assign every vector map-side (broadcast-literal
     centroids, no shuffle), then search same-list candidate pairs only —
-    the real inverted-file layout, vs ann_ivf_bucketed's label stand-in."""
+    the real inverted-file layout, vs ann_ivf_bucketed's label stand-in.
+
+    Full value oracle: the deterministic training loop (lowest-id init,
+    left-fold distances, lowest-id argmin ties, exact decimal mean sums)
+    is unrolled into DuckDB CTEs — c0 -> a1 -> c1 -> a2 -> c2 -> final
+    assignment — the same unrolled-iteration technique as
+    pagerank_copurchase's oracle. Zero-norm vectors are excluded on both
+    engines (cosine undefined), which also makes training input
+    identical."""
     from ..operators.kmeans import assign_clusters, kmeans_fit
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    e = e.select("vec_id", "embedding")
-    centroids = kmeans_fit(e, "embedding", "vec_id", k=8, max_iter=2)
+    e = e.select("vec_id", "embedding").filter(
+        F.expr(f"{_dot_expr('embedding', 'embedding')} > 0")
+    )
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=_KM_K, max_iter=_KM_ITER)
     en = assign_clusters(e, "embedding", centroids).withColumn(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     )
