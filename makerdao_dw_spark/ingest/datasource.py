@@ -258,28 +258,42 @@ def _jsonl_writer_classes():
         def commit(self, messages):
             import shutil
 
+            # Crash-consistent ordering (tests/test_crash_consistency.py):
+            # the manifest is the SINGLE commit point and is replaced
+            # atomically, so a reader that goes through it (the sink's
+            # contract) observes exactly pre-state or post-state.
+            #   phase 1: publish staged files — not yet committed, a
+            #            crash leaves only manifest-unreferenced files;
+            #   phase 2: atomic manifest replace (tmp + os.replace);
+            #   phase 3: garbage-collect — old files superseded by an
+            #            overwrite and the staging dir. A crash here
+            #            leaves harmless unreferenced orphans, never a
+            #            torn table (the pre-r5 order deleted old files
+            #            FIRST and rewrote the manifest in place — a
+            #            crash could lose pre-state or tear the JSON).
             manifest_path = os.path.join(self.path, "_MANIFEST.json")
-            if self.overwrite:
-                # overwrite semantics: previous committed files vanish
-                for f in os.listdir(self.path):
-                    if f.endswith(".jsonl"):
-                        os.remove(os.path.join(self.path, f))
-                manifest = []
-            elif os.path.exists(manifest_path):
-                # append semantics: the manifest stays the union of ALL
-                # committed writes, not just this one's
+            if os.path.exists(manifest_path):
                 with open(manifest_path) as f:
-                    manifest = json.load(f)
+                    prev = json.load(f)
             else:
-                manifest = []
+                prev = []
+            new = []
             for m in messages:
                 final = os.path.join(self.path, os.path.basename(m.staged))
                 os.replace(m.staged, final)
-                manifest.append({"file": os.path.basename(final), "rows": m.rows})
-            with open(manifest_path, "w") as f:
+                new.append({"file": os.path.basename(final), "rows": m.rows})
+            manifest = new if self.overwrite else prev + new
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(sorted(manifest, key=lambda x: x["file"]), f)
-            # the commit point: anything still staged belongs to failed
-            # or speculative attempts and is by definition uncommitted
+            os.replace(tmp, manifest_path)  # THE commit point
+            if self.overwrite:
+                keep = {e["file"] for e in manifest}
+                for fn in os.listdir(self.path):
+                    if fn.endswith(".jsonl") and fn not in keep:
+                        os.remove(os.path.join(self.path, fn))
+            # anything still staged belongs to failed or speculative
+            # attempts and is by definition uncommitted
             shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
         def abort(self, messages):
