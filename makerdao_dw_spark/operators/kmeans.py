@@ -54,6 +54,16 @@ def kmeans_fit(
     ordered by cluster id; empty clusters keep their previous centroid."""
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in init]
+    if not centroids:
+        raise ValueError(
+            "kmeans_fit: input DataFrame is empty (e.g. every vector was "
+            "filtered out as zero-norm) — cannot initialize centroids"
+        )
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans_fit: input has only {len(centroids)} rows but k={k}; "
+            "reduce k or supply more vectors"
+        )
     dim = len(centroids[0])
     for _ in range(max_iter):
         assigned = assign_clusters(df, vec_col, centroids)

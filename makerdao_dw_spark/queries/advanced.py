@@ -37,9 +37,14 @@ WITH e1 AS (
     -- one state row per (user, ts): MAX event_id (+ its event_type) —
     -- ASOF tie-breaking among equal state timestamps is unspecified in
     -- both engines, so the dedup IS the determinism contract (mirrored
-    -- in the Spark path; same pattern as asof_backward_order_events)
+    -- in the Spark path; same pattern as asof_backward_order_events).
+    -- event_type rides a struct through MAX_BY: bare MAX_BY(event_type,
+    -- event_id) IGNORES rows whose event_type is NULL and would
+    -- forward-fill from an older event — the struct is never NULL, so
+    -- the winner's NULL survives (pinned by the degenerate-corpus test
+    -- test_asof_null_event_type_on_winning_row)
     SELECT user_id, ts, MAX(event_id) AS event_id,
-           MAX_BY(event_type, event_id) AS event_type
+           (MAX_BY(struct_pack(ty := event_type), event_id)).ty AS event_type
     FROM events GROUP BY user_id, ts
 )
 SELECT o.o_orderkey, o.o_custkey,
@@ -105,16 +110,25 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("t"), F.col("is_probe").desc(), F.col("last_event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # both payload columns ride ONE struct (NULL on probe rows, so
+    # ignorenulls skips them): F.last reads id and type off the SAME
+    # state row even if event_type were NULL there — matching the
+    # oracle's MAX_BY(event_type, event_id), which returns NULL rather
+    # than forward-filling from an older event.
     merged = e.unionByName(o).withColumn(
-        "ev_id_ff", F.last("last_event_id", ignorenulls=True).over(w)
-    ).withColumn("ev_ty_ff", F.last("last_event_type", ignorenulls=True).over(w))
+        "ev",
+        F.when(
+            F.col("is_probe") == 0,
+            F.struct(F.col("last_event_id"), F.col("last_event_type")),
+        ),
+    ).withColumn("ev_ff", F.last("ev", ignorenulls=True).over(w))
     return (
         merged.filter(F.col("is_probe") == 1)
         .select(
             "o_orderkey",
             F.col("k").alias("o_custkey"),
-            F.col("ev_id_ff").alias("last_event_id"),
-            F.col("ev_ty_ff").alias("last_event_type"),
+            F.col("ev_ff.last_event_id").alias("last_event_id"),
+            F.col("ev_ff.last_event_type").alias("last_event_type"),
         )
         .orderBy("o_orderkey")
     )

@@ -136,6 +136,54 @@ SKIP_EMPTY_COMPARE = {
 }
 
 
+def test_asof_null_event_type_on_winning_row(spark, tmp_path_factory):
+    """The forward as-of join must report the MAX-event_id state row's
+    event_type even when that event_type is NULL — NOT forward-fill the
+    type from an older event (ADVICE r5, advanced.py): both payload
+    columns ride one struct through the LOCF window, matching the
+    oracle's MAX_BY(event_type, event_id). Two tied state rows, the
+    winner's type NULL — the losing formulation returns 'click' here."""
+    import datetime
+
+    from .conftest import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("asof_null_ty")
+    schemas = _schemas()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    t1 = datetime.datetime(2024, 1, 2, 0, 0)
+    overrides = {
+        "events": {
+            "event_id": [1, 2],
+            "ts": [t0, t0],  # tied timestamps; max event_id (2) wins
+            "user_id": [7, 7],
+            "event_type": ["click", None],  # winner's type is NULL
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        },
+        "orders": {
+            "o_orderkey": [100],
+            "o_custkey": [7],
+            "o_orderstatus": ["O"],
+            "o_totalprice": [1.0],
+            "o_orderdate": [t1],
+            "o_orderpriority": ["1"],
+        },
+    }
+    for t, schema in schemas.items():
+        if t in overrides:
+            tbl = pa.table(overrides[t], schema=schema)
+        else:
+            tbl = schema.empty_table()
+        pq.write_table(tbl, os.path.join(str(d), f"{t}.parquet"))
+
+    name = "asof_join_order_events"
+    rows = QUERIES[name](spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["last_event_id"] == 2
+    assert rows[0]["last_event_type"] is None  # NOT 'click'
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(d))
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(n for n in ORACLES if n not in SKIP_EMPTY | SKIP_EMPTY_COMPARE),

@@ -174,6 +174,25 @@ def test_kmeans_matches_numpy_reference(spark):
     assert kmeans_fit(e, "embedding", "vec_id", k=k, max_iter=iters) == centroids
 
 
+def test_kmeans_fit_rejects_empty_and_undersized_input(spark):
+    """kmeans_fit must fail with a clear ValueError (not an opaque
+    IndexError at centroids[0]) when the input is empty — e.g. a corpus
+    whose vectors were all filtered out as zero-norm — or has fewer rows
+    than k (ADVICE r5, similarity.py zero-norm filter path)."""
+    import pytest as _pytest
+
+    from makerdao_dw_spark.operators.kmeans import kmeans_fit
+    from makerdao_dw_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    empty = e.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, "embedding", "vec_id", k=4)
+    two = e.orderBy("vec_id").limit(2)
+    with _pytest.raises(ValueError, match="only 2 rows"):
+        kmeans_fit(two, "embedding", "vec_id", k=4)
+
+
 def test_cusum_counts_empty_prefix(spark, tmp_path):
     """CUSUM identity must include the EMPTY prefix S_0 = 0: with daily
     totals of 150 against drift k=50, the statistic is 100, 200, 300 —
