@@ -304,6 +304,29 @@ def _jsonl_writer_classes():
     return JsonlWriter
 
 
+def read_committed_jsonl(path: str) -> list[dict]:
+    """THE reader contract for the jsonl sink: only files referenced by
+    `_MANIFEST.json` are visible. Published-but-unreferenced files (a
+    crash between phase 1 and the atomic manifest replace) and staged
+    files are invisible, so a reader observes exactly pre-state or
+    post-state of any commit — the property fault-injected in
+    tests/test_crash_consistency.py. Returns the committed rows as
+    dicts, in manifest file order."""
+    import json as _json
+    import os
+
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        return []
+    with open(manifest_path) as f:
+        manifest = _json.load(f)
+    rows: list[dict] = []
+    for entry in manifest:
+        with open(os.path.join(path, entry["file"])) as f:
+            rows.extend(_json.loads(line) for line in f if line.strip())
+    return rows
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonlsink").option("path", ...).save()``."""
 

@@ -37,6 +37,39 @@ def table_layout_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
+def recover_swap(path: str) -> str | None:
+    """Complete crash recovery for an interrupted `_swap` (the recovery
+    contract documented in SCALE.md and pinned by
+    tests/test_crash_consistency.py).
+
+    The swap's only unsafe window is between its two renames: `path` has
+    been moved aside to the uniquely-named `<path>_old-<uuid>` backup but
+    the staged dir has not yet been renamed in. Recovery restores the
+    backup — the known-good committed snapshot — and discards staged
+    work (compaction is idempotent; re-running it reproduces the staged
+    result). If `path` exists the swap either completed or never
+    started, and any backups/staged dirs are crash leftovers to sweep.
+
+    Returns "restored" if a backup was renamed back into place, None if
+    there was nothing to recover.
+    """
+    import glob
+    import shutil
+
+    backups = sorted(glob.glob(path + "_old-*"))
+    if os.path.isdir(path):
+        for b in backups:
+            shutil.rmtree(b, ignore_errors=True)
+        return None
+    if backups:
+        os.rename(backups[-1], path)
+        for b in backups[:-1]:
+            shutil.rmtree(b, ignore_errors=True)
+        shutil.rmtree(path + "_compacted", ignore_errors=True)
+        return "restored"
+    return None
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -47,8 +80,11 @@ def compact_table(
 
     Partitioned tables are rewritten with one coalesce factor per
     partition (sized from on-disk bytes); unpartitioned tables in one
-    pass. Returns before/after layout stats.
+    pass. Returns before/after layout stats. Calls `recover_swap` first,
+    so re-running after ANY crash (including mid-swap) is the documented
+    recovery procedure.
     """
+    recover_swap(path)
     before = table_layout_stats(spark, path)
     df = spark.read.parquet(path)
     n_out = max(1, before["total_bytes"] // target_file_bytes)
