@@ -4,6 +4,17 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}. Each query is timed to full
 materialization (count via noop write semantics: collect).
+
+Self-calibration (round 6): this box's wall-clock noise is ±30% with
+occasional 5x spikes, which has twice forced a manual same-session A/B
+to separate code regressions from host drift. The suite now times a
+FIXED pure-Spark workload (constant-seed range -> hash -> shuffle ->
+agg; no disk, no data dependence) at suite start and end, and emits
+both the raw total and `value_normalized` = raw * (reference
+calibration / measured calibration). Compare `value_normalized` across
+rounds: identical code on a 20%-slower host reads ~identical
+normalized. `calibration` carries start/end/ref so drift WITHIN a run
+(start vs end divergence) is visible too.
 """
 
 from __future__ import annotations
@@ -15,10 +26,47 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from makerdao_dw_spark.queries import REGISTRY  # noqa: E402
 from makerdao_dw_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Reference calibration time on the round-6 build box (min-of-3 of
+# _calibration_run at 400M rows, local[32]; observed 0.75-0.90 across
+# repeated batches). value_normalized is the raw total rescaled as if
+# the suite had run on a host exactly this fast; the constant only
+# anchors the unit and never needs re-tuning unless the calibration
+# WORKLOAD changes.
+CALIBRATION_REF_SEC = 0.80
+
+
+def _calibration_run(spark) -> float:
+    """One timed run of the fixed calibration workload: 400M-row range,
+    per-row hashing (codegen CPU), a 1000-key shuffle, and a global
+    agg — the same JVM resources the headline queries stress, with zero
+    dependence on testdata or scale factor."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 400_000_000, 1, 32)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"),
+            # pmod keeps the SUMs inside long range (ANSI mode throws
+            # on overflow; raw xxhash64 sums overflow at this row count)
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .select(F.sum("s"))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def calibrate(spark) -> float:
+    """Min-of-3 calibration time (steady-state, like the query timings)."""
+    return round(min(_calibration_run(spark) for _ in range(3)), 3)
 
 # Headline suite: one representative per operator family.
 HEADLINE = [
@@ -51,6 +99,8 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    calib_start = calibrate(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -65,6 +115,12 @@ def main() -> None:
             assert rows is not None
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+
+    calib_end = calibrate(spark)
+    # min of the two bracketing calibrations = the session's best
+    # steady-state speed (consistent with per-query min-of-3); the
+    # start/end pair exposes WITHIN-run drift in the artifact.
+    calib = min(calib_start, calib_end)
     print(
         json.dumps(
             {
@@ -73,6 +129,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": {
+                    "start_sec": calib_start,
+                    "end_sec": calib_end,
+                    "ref_sec": CALIBRATION_REF_SEC,
+                },
+                "value_normalized": round(total * CALIBRATION_REF_SEC / calib, 3),
             }
         )
     )
