@@ -1,0 +1,60 @@
+"""Recall@5 measurement for the ANN indexes (VERDICT r5 item 5).
+
+The measured values at sf0.01 are fully deterministic (no RNG anywhere
+in the indexes or the harness), but the testdata corpus is regenerated
+by the driver, so the pins are structural invariants plus modest
+floors rather than exact equalities:
+
+- searching ALL k-means lists (nprobe = k) IS brute force, so recall
+  must be exactly 1.0 — the harness's own correctness anchor;
+- recall is monotonically non-decreasing in nprobe (a superset of
+  candidates can only add true neighbors);
+- trained k-means at nprobe=1 must beat the label stand-in bucketing
+  (the whole point of training real centroids).
+
+The full measured table lives in SCALE.md ("ANN recall@5").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from makerdao_dw_spark.operators.ann_eval import recall_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = recall_table(spark, SF, kmeans_nprobes=(1, 2, 8), srp_hamming=(0, 1))
+    return {(r["strategy"], r["nprobe"]): r["recall"] for r in rows}
+
+
+def test_full_probe_kmeans_is_exact(table):
+    # nprobe = k searches every inverted list == brute force
+    assert table[("ivf_kmeans", 8)] == 1.0
+
+
+def test_recall_monotone_in_nprobe(table):
+    assert (
+        table[("ivf_kmeans", 1)]
+        <= table[("ivf_kmeans", 2)]
+        <= table[("ivf_kmeans", 8)]
+    )
+    assert table[("srp_lsh", 1)] <= table[("srp_lsh", 9)]
+
+
+def test_trained_centroids_beat_label_standin(table):
+    assert table[("ivf_kmeans", 1)] > table[("ivf_label", 1)]
+
+
+def test_recall_floors(table):
+    """Modest floors under the round-6 measured values (kmeans@1 0.37,
+    kmeans@2 0.52, srp@9 0.16 at sf0.01) — loose enough to survive a
+    corpus regeneration, tight enough to catch an index regression
+    (e.g. a broken bucket assignment reads ~0)."""
+    assert table[("ivf_kmeans", 1)] >= 0.15
+    assert table[("ivf_kmeans", 2)] >= 0.25
+    assert table[("srp_lsh", 9)] >= 0.05
+    # 20 probes at sf0.01 — enough for the floors to be meaningful
+    # (n_probes is carried in the raw rows; re-derive cheaply)
