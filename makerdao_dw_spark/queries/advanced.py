@@ -437,46 +437,49 @@ def secondary_sort_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Event-sequence pattern matching (MATCH_RECOGNIZE-lite)
 # --------------------------------------------------------------------------
-@query(
-    "event_pattern_match",
-    oracle="""
-WITH seq AS (
+# Whale-key cap for event_pattern_match: the pattern is evaluated over
+# each user's FIRST _PATH_CAP events (by (ts, event_id)); n_events stays
+# the exact full count and `truncated` flags capped users. The cap
+# bounds the aggregation buffer (the pre-r6 formulation collect_list'd
+# EVERY event of a whale user into one buffer before sorting) — same
+# pattern as inverted_index_postings' pre-collect row_number limit.
+_PATH_CAP = 10_000
+
+
+def _pattern_oracle(cap: int) -> str:
+    return f"""
+WITH ranked AS (
+    SELECT user_id, event_id, ts,
+           CASE event_type WHEN 'view' THEN 'v'
+                           WHEN 'click' THEN 'c'
+                           WHEN 'purchase' THEN 'p'
+                           WHEN 'signup' THEN 's'
+                           ELSE 'e' END AS sym,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), seq AS (
     SELECT user_id,
-           string_agg(CASE event_type WHEN 'view' THEN 'v'
-                                      WHEN 'click' THEN 'c'
-                                      WHEN 'purchase' THEN 'p'
-                                      WHEN 'signup' THEN 's'
-                                      ELSE 'e' END, ''
+           string_agg(CASE WHEN rn <= {cap} THEN sym END, ''
                       ORDER BY ts, event_id) AS path,
            COUNT(*) AS n_events
-    FROM events GROUP BY user_id
+    FROM ranked GROUP BY user_id
 )
 SELECT user_id, n_events,
        len(path) - len(regexp_replace(path, 'v[^p]*c[^p]*p', '', 'g'))
          AS matched_len,
        CASE WHEN regexp_matches(path, 'v[^p]*c[^p]*p') THEN
             CAST(strpos(path, 'v') AS INT) ELSE NULL END AS first_v_pos,
-       regexp_matches(path, 'v[^p]*c[^p]*p') AS converted
+       regexp_matches(path, 'v[^p]*c[^p]*p') AS converted,
+       n_events > {cap} AS truncated
 FROM seq
 ORDER BY user_id
-""",
-    tags=("analytics", "pattern", "match-recognize"),
-)
-def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL MATCH_RECOGNIZE-style sequence pattern detection, which Spark
-    lacks natively, expressed as ordered path-string construction +
-    regex: per user, the event stream becomes a compact symbol string
-    (deterministically ordered by (ts, event_id)) and the funnel
-    pattern view →(no purchase between)→ click →…→ purchase is a plain
-    regex over it.
+"""
 
-    Shape at 100 TB: ONE shuffle on user_id; the per-user path is
-    bounded by per-user activity (cap with slice() for whale users);
-    regex evaluation is codegen'd JVM work, rows out = |users|. The
-    Spark path-string is built with array_sort over (ts, event_id,
-    sym) structs + array_join — no UDF, no MATCH_RECOGNIZE engine
-    needed for linear-pattern funnels."""
-    e = _t(spark, sf_dir, "events")
+
+def _pattern_match_frame(e: DataFrame, cap: int) -> DataFrame:
+    """Core of event_pattern_match with an explicit whale cap (the
+    pathological-user test drives this with a small cap; the registered
+    query uses _PATH_CAP)."""
     sym = (
         F.when(F.col("event_type") == "view", "v")
         .when(F.col("event_type") == "click", "c")
@@ -484,15 +487,29 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", "s")
         .otherwise("e")
     )
-    seq = (
-        e.select("user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("ev"))
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["sym"]), ""
-            ).alias("path"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "ts", "event_id", sym.alias("sym")
+    ).withColumn("rn", F.row_number().over(w))
+    # rank window and groupBy share ONE user_id exchange; collect_list
+    # skips the NULLs the rn-guard produces, so the aggregation buffer
+    # holds at most `cap` structs per user — the whale bound
+    seq = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= cap,
+                            F.struct("ts", "event_id", "sym"),
+                        )
+                    )
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
     )
     pat = "v[^p]*c[^p]*p"
     return seq.select(
@@ -505,7 +522,34 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("path").rlike(pat), F.instr(F.col("path"), "v").cast("int")
         ).alias("first_v_pos"),
         F.col("path").rlike(pat).alias("converted"),
+        (F.col("n_events") > cap).alias("truncated"),
     ).orderBy("user_id")
+
+
+@query(
+    "event_pattern_match",
+    oracle=_pattern_oracle(_PATH_CAP),
+    tags=("analytics", "pattern", "match-recognize"),
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE-style sequence pattern detection, which Spark
+    lacks natively, expressed as ordered path-string construction +
+    regex: per user, the event stream becomes a compact symbol string
+    (deterministically ordered by (ts, event_id)) and the funnel
+    pattern view →(no purchase between)→ click →…→ purchase is a plain
+    regex over it.
+
+    Shape at 100 TB: ONE shuffle on user_id (the rank window and the
+    aggregate share it); regex evaluation is codegen'd JVM work, rows
+    out = |users|. Whale contract (round 6): the path covers each
+    user's first _PATH_CAP events — the row_number pre-guard keeps the
+    collect_list buffer bounded for a 1M-event user (pinned by
+    tests/test_whale_keys.py) — while n_events stays the exact full
+    count and `truncated` marks capped users instead of silently
+    dropping them. The Spark path-string is built with array_sort over
+    (ts, event_id, sym) structs + array_join — no UDF, no
+    MATCH_RECOGNIZE engine needed for linear-pattern funnels."""
+    return _pattern_match_frame(_t(spark, sf_dir, "events"), _PATH_CAP)
 
 
 # --------------------------------------------------------------------------
