@@ -70,6 +70,14 @@ def main() -> None:
 
         total = time.perf_counter() - t0
         n_written = sum(counts.values())
+        # sink layout: parquet file count + sizes across all tables —
+        # the small-file accretion the 10^7 run is checking for
+        sizes = [
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
         print(
             json.dumps(
                 {
@@ -83,6 +91,9 @@ def main() -> None:
                     "demux_decode_write_sec": round(t_demux, 2),
                     "total_sec": round(total, 2),
                     "decode_rows_per_sec": round(n_written / t_demux, 1),
+                    "sink_files": len(sizes),
+                    "sink_bytes": sum(sizes),
+                    "sink_avg_file_kb": round(sum(sizes) / max(len(sizes), 1) / 1024, 1),
                     "table_counts": counts,
                 }
             )
