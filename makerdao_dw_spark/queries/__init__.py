@@ -30,6 +30,7 @@ from . import (  # noqa: E402,F401
     training,
     training2,
     training3,
+    training4,
     udaf,
     warehouse,
 )
