@@ -227,6 +227,10 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_features import shingles_expr
 
     d = _t(spark, sf_dir, "documents", spread=True)
+    # NOT checkpointed, measured: unlike lm_bigram's db2 (50x smaller
+    # than its token stream), the shingle index is corpus-sized — at
+    # sf1 materializing it costs MORE than the consumers' recomputes
+    # (7.9 s vs 7.1 s); the explode is cheap next to the pair join
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles_expr("text"))).alias("s")
     )

@@ -525,13 +525,19 @@ def test_corpus_pipeline_is_one_scan_two_shuffles(spark):
 
 def test_lm_bigram_tokenizes_once(spark):
     """lm_bigram_doc_score: the scoring probe and the model chain both
-    hang off the per-(doc,w1,w2) occurrence aggregate — AQE must dedupe
-    the two subtrees into a ReusedExchange so the corpus is tokenized
-    ONCE (the naive model-from-raw formulation scanned 4x)."""
+    hang off the per-(doc,w1,w2) occurrence aggregate, which round 6
+    MATERIALIZES (eager localCheckpoint — AQE's ReusedExchange cannot
+    dedupe these subtrees once the model broadcasts, measured 24->13 s
+    at sf1). The plan must therefore contain NO documents scan and NO
+    tokenize/explode at all — every consumer reads the checkpointed
+    ExistingRDD."""
     df = run(spark, "lm_bigram_doc_score")
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+    assert "ExistingRDD" in p, p[:3000]
+    # the expensive stages live only BEFORE the checkpoint: no parquet
+    # scan, no explode/generate in the consuming plan
+    assert "Generate" not in p and "parquet" not in p.lower(), p[:3000]
 
 
 def test_simhash_hamming_single_signature_pass(spark):
