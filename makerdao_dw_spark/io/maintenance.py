@@ -56,10 +56,21 @@ def recover_swap(path: str) -> str | None:
     import glob
     import shutil
 
-    backups = sorted(glob.glob(path + "_old-*"))
+    # newest-first by mtime: the uuid suffix is deliberately meaningless
+    # (it exists to avoid rename-onto-nonempty), so a lexicographic pick
+    # could restore a STALE partially-deleted backup over the real
+    # pre-state if an earlier sweep failed silently (review r6)
+    backups = sorted(glob.glob(path + "_old-*"), key=os.path.getmtime)
     if os.path.isdir(path):
         for b in backups:
             shutil.rmtree(b, ignore_errors=True)
+        # a leftover staging dir is uncommitted work from a crashed
+        # compaction; sweeping it here (not just in the restore branch)
+        # matters for PARTITIONED tables — the rewrite uses dynamic
+        # partition overwrite INTO the staging dir, which would leave a
+        # stale partition's staged files to be swapped into the live
+        # table (resurrecting externally-deleted rows)
+        shutil.rmtree(path + "_compacted", ignore_errors=True)
         return None
     if backups:
         os.rename(backups[-1], path)

@@ -11,7 +11,11 @@ module measures that trade distributively:
 - an index strategy maps every vector to ONE bucket (its inverted-list
   assignment) and every probe to `nprobe` buckets (the lists it
   searches); candidates are corpus vectors in any probed bucket;
-- recall@k = |approx top-k ∩ true top-k| / k averaged over probes.
+- recall@k = |approx top-k ∩ true top-k| / |true top-k| averaged over
+  probes (the denominator is the TRUE set size, deliberately: a probe
+  with fewer than k neighbors in the corpus — small or heavily
+  filtered slices — can still score 1.0 by finding all of them,
+  instead of being capped at |true|/k by an unreachable k).
 
 Everything is a DataFrame pipeline — the only driver-side data are the
 per-probe top-k id sets (Q*k rows) and the k*dim centroid list. The
@@ -56,17 +60,24 @@ def _topk_sets(scored: DataFrame, k: int) -> dict[int, frozenset[int]]:
     return {q: frozenset(s) for q, s in out.items()}
 
 
-def _scored(probes: DataFrame, cands: DataFrame) -> DataFrame:
-    """Exact cosine of every (probe, candidate) pair; probes broadcast
-    (Q rows — tiny next to the corpus)."""
+def _cos_select(joined: DataFrame) -> DataFrame:
+    """THE cosine-scoring projection, shared by the exact ground-truth
+    path and every bucketed approximate path — one formulation, so the
+    two sides of the recall comparison can never drift."""
     from ..queries.similarity import _dot_expr
 
-    return F.broadcast(probes).join(
-        cands, F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    return joined.select(
         "query_id",
         "neighbor_id",
         (F.expr(_dot_expr("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+
+
+def _scored(probes: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact cosine of every (probe, candidate) pair; probes broadcast
+    (Q rows — tiny next to the corpus)."""
+    return _cos_select(
+        F.broadcast(probes).join(cands, F.col("query_id") != F.col("neighbor_id"))
     )
 
 
@@ -81,11 +92,18 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def true_topk(
-    spark: SparkSession, sf_dir: str, probe_mod: int = 25, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    probe_mod: int = 25,
+    k: int = 5,
+    nz: DataFrame | None = None,
 ) -> dict[int, frozenset[int]]:
     """Exact brute-force ground truth: per-probe top-k over the FULL
-    corpus (probes = vec_id % probe_mod == 0, zero-norm excluded)."""
-    nz = _corpus(spark, sf_dir)
+    corpus (probes = vec_id % probe_mod == 0, zero-norm excluded).
+    Pass `nz` to reuse an already-built corpus frame (recall_table
+    does — ONE corpus definition for truth and approx paths)."""
+    if nz is None:
+        nz = _corpus(spark, sf_dir)
     probes = nz.filter(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -127,15 +145,12 @@ def _bucketed_topk(
         F.col("nrm").alias("cn"),
         "bkt",
     )
-    from ..queries.similarity import _dot_expr
-
-    scored = F.broadcast(probes).join(
-        cands,
-        (probes["bkt"] == cands["bkt"]) & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        (F.expr(_dot_expr("qv", "cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    scored = _cos_select(
+        F.broadcast(probes).join(
+            cands,
+            (probes["bkt"] == cands["bkt"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
     )
     # a probe searching multiple buckets can see a candidate once per
     # shared bucket — dedup before ranking
@@ -171,7 +186,7 @@ def recall_table(
     from .kmeans import kmeans_fit
 
     nz = _corpus(spark, sf_dir)
-    truth = true_topk(spark, sf_dir, probe_mod, k)
+    truth = true_topk(spark, sf_dir, probe_mod, k, nz=nz)
     out: list[dict] = []
 
     # --- label buckets (nprobe is not meaningful: labels aren't metric)

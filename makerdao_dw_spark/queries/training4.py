@@ -201,7 +201,9 @@ SELECT p.doc_a, p.doc_b,
        CAST(sa.n_sh AS BIGINT) AS n_sh_a,
        ROUND(p.shared / CAST(sa.n_sh AS DOUBLE), 6) AS containment
 FROM pair_hits p JOIN sizes sa ON p.doc_a = sa.doc_id
-WHERE p.shared / CAST(sa.n_sh AS DOUBLE) >= {_CONTAIN_T}
+-- threshold on the ROUNDED value, mirroring the Spark filter: a raw
+-- ratio in [0.7999995, 0.8) rounds up and must pass on BOTH engines
+WHERE ROUND(p.shared / CAST(sa.n_sh AS DOUBLE), 6) >= {_CONTAIN_T}
 ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "containment", "asymmetric"),
@@ -218,8 +220,10 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) bounds each shingle's contribution to df² pairs, the same
     whale discipline as the LSH bucket cap (a boilerplate shingle
     shared by half the corpus would otherwise be the quadratic
-    blowup). One exchange per aggregation; the per-doc size table
-    joins back broadcast-size. Note the denominator uses the FULL
+    blowup). One exchange per aggregation; the per-doc size table is
+    |documents|-sized, so it joins back as a plain keyed join (a
+    forced broadcast of a corpus-proportional table is exactly the
+    anti-pattern the r4 review banned). Note the denominator uses the FULL
     shingle set size while hits come from capped shingles, so reported
     containment is a LOWER bound — a pair can only be missed if its
     overlap lives entirely in stop-shingles, which is the documented
@@ -246,9 +250,7 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        pair_hits.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), "n_sh")), "doc_a"
-        )
+        pair_hits.join(sizes.select(F.col("doc_id").alias("doc_a"), "n_sh"), "doc_a")
         .withColumn("containment", F.round(F.col("shared") / F.col("n_sh").cast("double"), 6))
         .filter(F.col("containment") >= _CONTAIN_T)
         .select(
@@ -310,7 +312,13 @@ def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ctx.filter(F.col("c3").isNotNull())
         .select(
-            F.concat_ws(">", "c3", "c2", "c1").alias("context"),
+            # F.concat, NOT concat_ws: '||' in the oracle propagates a
+            # NULL lag (possible for NULL event_type mid-stream) into a
+            # NULL context; concat_ws would silently drop the part and
+            # collide with genuinely shorter contexts (review r6)
+            F.concat(F.col("c3"), F.lit(">"), F.col("c2"), F.lit(">"), F.col("c1")).alias(
+                "context"
+            ),
             "label",
             "event_id",
         )

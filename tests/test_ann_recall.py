@@ -25,8 +25,12 @@ SF = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
-def table(spark):
-    rows = recall_table(spark, SF, kmeans_nprobes=(1, 2, 8), srp_hamming=(0, 1))
+def rows(spark):
+    return recall_table(spark, SF, kmeans_nprobes=(1, 2, 8), srp_hamming=(0, 1))
+
+
+@pytest.fixture(scope="module")
+def table(rows):
     return {(r["strategy"], r["nprobe"]): r["recall"] for r in rows}
 
 
@@ -56,5 +60,11 @@ def test_recall_floors(table):
     assert table[("ivf_kmeans", 1)] >= 0.15
     assert table[("ivf_kmeans", 2)] >= 0.25
     assert table[("srp_lsh", 9)] >= 0.05
-    # 20 probes at sf0.01 — enough for the floors to be meaningful
-    # (n_probes is carried in the raw rows; re-derive cheaply)
+
+
+def test_enough_probes_for_floors(rows):
+    """The floors above are only meaningful over a real probe set: a
+    corpus regeneration that shrinks the embeddings table (or a
+    probe_mod change) could leave 1-2 probes, making recall a coin
+    flip that still clears the floors. 20 probes at round-6 sf0.01."""
+    assert all(r["n_probes"] >= 10 for r in rows), rows

@@ -265,7 +265,10 @@ def test_swap_crash_during_backup_removal(spark, tmp_path, monkeypatch):
     pre = _rows(spark, path)
 
     real_rmtree = shutil.rmtree
-    monkeypatch.setattr(shutil, "rmtree", _fail_on_call(real_rmtree, 1))
+    # call 1 is recover_swap's staging sweep at compact_table entry
+    # (round-6 addition); call 2 is _swap's backup removal — the
+    # post-commit crash point this test pins
+    monkeypatch.setattr(shutil, "rmtree", _fail_on_call(real_rmtree, 2))
     with pytest.raises(InjectedCrash):
         compact_table(spark, path, target_file_bytes=1 << 30)
     monkeypatch.setattr(shutil, "rmtree", real_rmtree)
@@ -277,6 +280,49 @@ def test_swap_crash_during_backup_removal(spark, tmp_path, monkeypatch):
     compact_table(spark, path, target_file_bytes=1 << 30)
     assert not any(d.startswith("t_old-") for d in os.listdir(tmp_path))
     assert _rows(spark, path) == pre
+
+
+def test_recover_swap_restores_newest_backup_by_mtime(tmp_path):
+    """With MULTIPLE leftover backups (a prior sweep failed silently —
+    all sweeps are ignore_errors), recovery must restore the NEWEST by
+    mtime: the uuid suffix is meaningless, and a lexicographic pick
+    would restore a stale snapshot ~50% of the time (review r6). The
+    stale backup here sorts LAST lexicographically but is older."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    stale = path + "_old-zzzzzzzz"  # lexicographically last
+    good = path + "_old-aaaaaaaa"
+    os.makedirs(stale)
+    open(os.path.join(stale, "stale.parquet"), "w").write("old-generation")
+    _time.sleep(0.05)
+    os.makedirs(good)
+    open(os.path.join(good, "good.parquet"), "w").write("committed")
+
+    assert recover_swap(path) == "restored"
+    assert os.path.exists(os.path.join(path, "good.parquet"))
+    assert not os.path.isdir(stale)
+
+
+def test_recover_swap_sweeps_stale_staging_with_live_table(spark, tmp_path):
+    """A crashed compaction's <path>_compacted staging dir must be
+    swept even when the live table is intact: the partitioned rewrite
+    dynamic-overwrites INTO the staging dir, so a stale staged
+    partition (e.g. one externally deleted from the live table since)
+    would survive the rewrite and be sworn in by the swap —
+    resurrecting deleted rows (review r6)."""
+    path = str(tmp_path / "t")
+    _write_numbers(spark, path, n=50, files=2)
+    staged = path + "_compacted"
+    os.makedirs(os.path.join(staged, "p=9"))
+    open(os.path.join(staged, "p=9", "stale.parquet"), "w").write("x")
+
+    assert recover_swap(path) is None
+    assert not os.path.isdir(staged)
+    # and a full compaction from this state is clean
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.isdir(staged)
+    assert len(_rows(spark, path)) == 50
 
 
 # ---------------------------------------------------------------------------
