@@ -31,6 +31,7 @@ from . import (  # noqa: E402,F401
     training2,
     training3,
     training4,
+    training5,
     udaf,
     warehouse,
 )

@@ -559,3 +559,23 @@ def test_prefix_filter_reuses_shingle_exchange(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+
+
+def test_leakage_audit_no_heavy_predicate_below_spread(spark):
+    """split_leakage_audit: a plain explode() infers size(g2)>0, which
+    collapses through the projections and is PUSHED below the spread
+    repartition — the entire bigram transform then re-evaluates inside
+    the single-file scan task (measured 4.7 s single-threaded vs 0.8 s
+    spread at sf0.1). The explode_outer + isNotNull formulation must
+    keep every transform(...) lambda ABOVE the exchange: no Filter in
+    the optimized plan may contain the bigram transform."""
+    import re
+
+    df = run(spark, "split_leakage_audit")
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    heavy = [
+        ln
+        for ln in p.splitlines()
+        if ln.lstrip().startswith(("Filter", "+- Filter")) and "transform(" in ln
+    ]
+    assert not heavy, heavy[:2]
