@@ -693,7 +693,16 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE self-join on the SAME (half, k) exchange — AQE dedupes the
     # two identical sides into a ReusedExchange (the tfidf trick); the
     # naive a_lo/b_lo/a_hi/b_hi formulation evaluated md5-per-token 4x.
-    keyed = d.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")).select(
+    # coalesce fixes NULLABILITY METADATA, not values (the signature
+    # fold yields 0, never NULL, even on an empty token array): a
+    # nullable join key makes InferFiltersFromConstraints add
+    # isnotnull(<entire md5-per-token fold>), which is pushed below the
+    # spread repartition and re-evaluates the signature single-threaded
+    # in the one-file scan task (the split_leakage_audit hazard class;
+    # measured 2.45 s -> see plan test for the pin)
+    keyed = d.select(
+        "doc_id", F.coalesce(F.expr(_SIMHASH_SPARK), F.lit(0)).alias("simhash")
+    ).select(
         "doc_id",
         "simhash",
         F.explode(

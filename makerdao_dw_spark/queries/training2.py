@@ -35,9 +35,11 @@ from ..session import configure, load_table
 from .registry import query
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     configure(spark)
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +274,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     an EVAL SET — kilobytes against a 100 TB corpus — so it must
     broadcast (asserted: BroadcastHashJoin, no SortMergeJoin); the only
     hash exchange is the per-doc rollup of hit counts."""
-    d = _t(spark, sf_dir, "documents")
+    # spread=True: this is a CPU-heavy text load (per-doc bigram zip),
+    # exactly the class the auto-spread note reserves explicit spread
+    # for; and explode_OUTER + NULL filter instead of explode, so the
+    # inferred size(g2)>0 predicate cannot be pushed below the spread
+    # repartition and re-evaluate the whole zip single-threaded in the
+    # one-file scan (the split_leakage_audit hazard; 1.23 s -> 0.6 s)
+    d = _t(spark, sf_dir, "documents", spread=True)
     grams = d.select(
         "doc_id",
         "source",
@@ -284,12 +292,15 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = (
         grams.filter(F.col("source") == "src0")
-        .select(F.explode("g2").alias("gram"))
+        .select(F.explode_outer("g2").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = grams.filter(F.col("source") != "src0").select(
-        "doc_id", F.explode(F.array_distinct("g2")).alias("gram")
+    cand = (
+        grams.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode_outer(F.array_distinct("g2")).alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
     return (
         cand.join(F.broadcast(bench), "gram", "left")

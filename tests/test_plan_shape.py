@@ -549,6 +549,17 @@ def test_simhash_hamming_single_signature_pass(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+    # and the signature must never leak into a pushed Filter: a nullable
+    # join key makes InferFilters add isnotnull(<md5-per-token fold>),
+    # re-evaluated single-threaded below the spread repartition (fixed
+    # round 6 by the coalesce nullability pin — 2.45 s -> 1.6 s sf0.1)
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    heavy = [
+        ln
+        for ln in o.splitlines()
+        if ln.lstrip(" +-:").startswith("Filter") and "lambdafunction" in ln
+    ]
+    assert not heavy, heavy[:1]
 
 
 def test_prefix_filter_reuses_shingle_exchange(spark):
