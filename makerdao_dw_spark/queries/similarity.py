@@ -388,7 +388,10 @@ FROM {prev} p LEFT JOIN (
 ) n USING (cluster)"""
 
 
-_KM_ORACLE = f"""
+# WITH-prefix through `scored` (training + final assignment + norms),
+# shared by ann_ivf_kmeans and semdedup_kmeans_prune — ONE definition
+# of the unrolled training loop, so the two oracles can never drift.
+_KM_PREFIX = f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings WHERE {_NORM_POS_DUCK}
@@ -409,7 +412,9 @@ scored AS (
     SELECT vec_id, e, cluster,
            SQRT({_dot_sql_duckdb('e', 'e')}) AS nrm
     FROM fin
-)
+)"""
+
+_KM_ORACLE = f"""{_KM_PREFIX}
 SELECT a.cluster AS list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) AS cosine
 FROM scored a JOIN scored b
@@ -466,6 +471,103 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.2)
         .orderBy("list_id", "vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup over trained k-means clusters
+# --------------------------------------------------------------------------
+_SEM_T = 0.35  # demo threshold: the synthetic corpus is near-isotropic
+# (max in-cluster cosine ~0.5), so a production 0.95 would be vacuous;
+# the dataflow is identical, T is the knob (drops ~19% at sf0.01)
+
+
+@query(
+    "semdedup_kmeans_prune",
+    oracle=f"""{_KM_PREFIX},
+pairs AS (
+    SELECT a.cluster, b.vec_id AS vb
+    FROM scored a JOIN scored b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) >= {_SEM_T}
+), dropped AS (
+    SELECT DISTINCT cluster, vb FROM pairs
+)
+SELECT s.cluster,
+       COUNT(*) AS n_vectors,
+       COUNT(d.vb) AS n_dropped,
+       COUNT(*) - COUNT(d.vb) AS n_kept,
+       ROUND((COUNT(*) - COUNT(d.vb)) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_frac,
+       MIN(s.vec_id) AS canonical_example
+FROM scored s LEFT JOIN dropped d
+  ON s.cluster = d.cluster AND s.vec_id = d.vb
+GROUP BY s.cluster
+ORDER BY s.cluster
+""",
+    tags=("dedup", "semdedup", "embedding", "kmeans"),
+)
+def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    trained k-means clusters — drop every vector whose cosine to a
+    LOWER-id vector in the same cluster is ≥ T (keep-lowest-id is the
+    deterministic canonical election; the paper keeps one random point
+    per semantic group). Reports per-cluster corpus shrinkage — the
+    table a pretraining run consults to pick its dedup threshold.
+
+    Shares `operators/kmeans.py` training AND the `_KM_PREFIX`
+    unrolled-Lloyd oracle CTEs with ann_ivf_kmeans — one definition of
+    the training loop on each engine, so the two queries cannot drift.
+
+    Shapes at 100 TB: the pair join is within-cluster only (O(N²/k),
+    the whole point of clustering first — the paper's recipe is
+    k≈sqrt(N) which keeps per-cluster pair counts near-linear); one
+    shuffle on cluster id for both join sides (same exchange), rollup
+    output is k rows. No corpus-sized collect anywhere: training holds
+    k×dim floats on the driver, everything else is DataFrame-side."""
+    from ..operators.kmeans import assign_clusters, kmeans_fit
+
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    e = e.select("vec_id", "embedding").filter(
+        F.expr(f"{_dot_expr('embedding', 'embedding')} > 0")
+    )
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=_KM_K, max_iter=_KM_ITER)
+    en = assign_clusters(e, "embedding", centroids).withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    )
+    a = en.alias("a")
+    b = en.alias("b")
+    cos = F.round(
+        F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_T)
+        .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    return (
+        en.join(
+            dropped,
+            (en["cluster"] == dropped["cluster"]) & (en["vec_id"] == dropped["vb"]),
+            "left",
+        )
+        .groupBy(en["cluster"])
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("vb").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("vb")).alias("n_kept"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("vb")) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_frac"),
+            F.min(en["vec_id"]).alias("canonical_example"),
+        )
+        .orderBy("cluster")
     )
 
 

@@ -28,9 +28,10 @@ QUERIES = queries_dict()
 # Queries whose construction is inherently data-dependent in ways an
 # empty corpus cannot satisfy, with the reason pinned here:
 SKIP_EMPTY = {
-    # trains k=8 centroids; fewer points than clusters is a genuine
+    # train k=8 centroids; fewer points than clusters is a genuine
     # user error the operator raises on (pinned in test_extensions)
     "ann_ivf_kmeans",
+    "semdedup_kmeans_prune",
 }
 
 
