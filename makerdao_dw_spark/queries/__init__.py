@@ -32,6 +32,7 @@ from . import (  # noqa: E402,F401
     training3,
     training4,
     training5,
+    training6,
     udaf,
     warehouse,
 )

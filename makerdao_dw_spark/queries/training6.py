@@ -1,0 +1,344 @@
+"""Training-data pipeline, wave 6 (round 6): boilerplate detection,
+count-min heavy hitters, and embedding KNN classification.
+
+- `boilerplate_chunk_stats`: RefinedWeb/C4-style boilerplate removal
+  statistics — token chunks that repeat verbatim across >= 3 documents
+  of the SAME source (site templates, navigation, legal footers) are
+  flagged, and each source reports how much of its token mass is
+  boilerplate. Production runs this at line/paragraph granularity; the
+  synthetic corpus has no line structure, so the chunk is a fixed
+  2-token window (the constant is the only difference — the data
+  motion and the df-threshold semantics are identical at any chunk
+  size).
+- `cms_heavy_hitters`: frequent-token discovery via an explicit
+  count-min sketch built AS A TABLE — d=4 hash rows x w=64 buckets,
+  each cell the sum of counts hashing into it, estimate = MIN over the
+  d rows. Complements the HLL/theta/KLL sketch family (sketches.py)
+  with the frequency sketch; unlike those, every number here is
+  deterministic on both engines (md5 arithmetic-hash anchor), so the
+  estimates themselves are value-oracled, not tolerance-gated.
+- `knn_label_classifier`: k-nearest-neighbor label prediction over the
+  embedding corpus — majority vote of the 5 cosine-nearest TRAIN
+  vectors for each held-out probe, with per-probe correctness. The
+  embedding-KNN quality classifier is how web-scale pipelines score
+  documents against a small labeled seed set (fastText/embedding
+  filtering a la LLaMA/phi data curation).
+
+Determinism: tokenization is the shared text_common fragment pair;
+hashes are the md5 arithmetic anchor; cosine is the similarity-module
+left-fold double contract; every ranking orders on (value, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import query_table
+from .registry import query
+from .similarity import _dot_expr, _dot_sql_duckdb, _NORM_POS_DUCK
+from .text_common import tokens_arr, tokens_arr_duck
+
+_t = query_table
+
+# --------------------------------------------------------------------------
+# Boilerplate chunk detection
+# --------------------------------------------------------------------------
+_CHUNK = 2  # tokens per chunk (production: one line/paragraph)
+_BOILER_DF = 3  # chunk is boilerplate if it appears in >= this many docs
+
+
+@query(
+    "boilerplate_chunk_stats",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, {tokens_arr_duck('text')} AS w FROM documents
+), inst AS (
+    SELECT doc_id, source, UNNEST(
+        CASE WHEN len(w) >= 1 THEN
+            list_transform(generate_series(0, CAST((len(w) - 1) // {_CHUNK} AS INT)),
+                i -> struct_pack(
+                    chunk := array_to_string(w[i * {_CHUNK} + 1 : i * {_CHUNK} + {_CHUNK}], ' '),
+                    ctoks := least({_CHUNK}, len(w) - i * {_CHUNK})))
+        ELSE [] END) AS c
+    FROM toks
+), per_chunk AS (
+    SELECT source, c.chunk AS chunk,
+           COUNT(DISTINCT doc_id) AS df_docs,
+           COUNT(*) AS inst_n,
+           CAST(SUM(c.ctoks) AS BIGINT) AS inst_toks
+    FROM inst GROUP BY source, c.chunk
+)
+SELECT source,
+       CAST(SUM(inst_n) AS BIGINT) AS n_chunk_instances,
+       COUNT(*) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN df_docs >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+       ROUND(CAST(SUM(CASE WHEN df_docs >= {_BOILER_DF} THEN inst_toks ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(inst_toks) AS DOUBLE), 6) AS boiler_token_frac
+FROM per_chunk
+GROUP BY source
+ORDER BY source
+""",
+    tags=("training", "boilerplate", "dedup", "quality"),
+)
+def boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate profile: fraction of token mass sitting in
+    chunks that repeat verbatim in >= 3 documents of the same source.
+    The cleaner that strips site templates consumes exactly this
+    (source, chunk) df table; this query reports its impact summary.
+
+    Shapes at 100 TB: chunking is map-only; the (source, chunk) rollup
+    is one shuffle keyed by content hash (uniform by construction); the
+    per-source rollup is a second, tiny exchange over distinct chunks.
+    df counting never materializes per-chunk doc lists. The `if` guard
+    (not a filter) keeps the heavy tokenize lambda out of
+    optimizer-inferred pushed predicates (NOTES.md hazard class)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    inst = (
+        d.select("doc_id", "source", tokens_arr("text").alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                F.expr(
+                    f"if(size(w) >= 1,"
+                    f" transform(sequence(0, (size(w) - 1) div {_CHUNK}),"
+                    f"  i -> named_struct("
+                    f"   'chunk', array_join(slice(w, i * {_CHUNK} + 1, {_CHUNK}), ' '),"
+                    f"   'ctoks', least({_CHUNK}, size(w) - i * {_CHUNK}))),"
+                    f" cast(array() as array<struct<chunk:string,ctoks:int>>))"
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+    )
+    per_chunk = inst.groupBy("source", F.col("c.chunk").alias("chunk")).agg(
+        F.countDistinct("doc_id").alias("df_docs"),
+        F.count(F.lit(1)).alias("inst_n"),
+        F.sum("c.ctoks").alias("inst_toks"),
+    )
+    boiler = F.col("df_docs") >= _BOILER_DF
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("inst_n").alias("n_chunk_instances"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boiler_chunks"),
+            F.round(
+                F.sum(F.when(boiler, F.col("inst_toks")).otherwise(0)).cast("double")
+                / F.sum("inst_toks").cast("double"),
+                6,
+            ).alias("boiler_token_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+_CMS_TOPK = 20
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+    SELECT UNNEST({tokens_arr_duck('text')}) AS token FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+), hashed AS (
+    SELECT token, n, UNNEST(generate_series(0, {_CMS_D - 1})) AS j FROM vocab
+), cells_in AS (
+    SELECT token, n, j,
+           CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8) AS BIGINT)
+               % {_CMS_W} AS bucket
+    FROM hashed
+), cells AS (
+    SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cell_n FROM cells_in GROUP BY j, bucket
+), top AS (
+    SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+    FROM vocab QUALIFY rk <= {_CMS_TOPK}
+)
+SELECT t.token AS token, CAST(t.n AS BIGINT) AS exact_n,
+       MIN(c.cell_n) AS est_n,
+       MIN(c.cell_n) - CAST(t.n AS BIGINT) AS overcount,
+       t.rk AS rk
+FROM top t
+JOIN cells_in h ON t.token = h.token
+JOIN cells c ON h.j = c.j AND h.bucket = c.bucket
+GROUP BY t.token, t.n, t.rk
+ORDER BY rk
+""",
+    tags=("training", "sketch", "cms", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an explicit count-min sketch: the sketch is a
+    (d=4 x w=64) cell TABLE — cell = sum of token counts hashing there;
+    estimate(token) = MIN over the 4 rows; claim surface = exact count,
+    estimate, and the (always >= 0) overcount for the exact top-20.
+    This is the frequency sketch the HLL/theta/KLL family is missing —
+    the stopword/boilerplate-token discovery pass of a corpus pipeline.
+
+    Shapes at 100 TB: token counts are Zipf-aggregated FIRST (vocab
+    rows, not corpus tokens) before the d-way explode, so sketch
+    construction costs one (token) exchange + one tiny (j, bucket)
+    rollup; the cell table is d*w = 256 rows and broadcast-joined back.
+    Partial sketches merge by cell-wise SUM — exactly the groupBy — so
+    a per-partition/day rollup of these tables IS the mergeable sketch
+    store. Deterministic: md5 arithmetic-hash anchor (NOTES.md), no
+    RNG, so estimates are value-oracled, not tolerance-gated."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    toks = (
+        d.select(F.explode_outer(tokens_arr("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    hashed = vocab.select(
+        "token", "n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        ),
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("cell_n"))
+    top = (
+        vocab.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "token")).cast("long"),
+        )
+        .filter(F.col("rk") <= _CMS_TOPK)
+    )
+    return (
+        hashed.select("token", "j", "bucket")
+        .join(F.broadcast(top), "token")
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "n", "rk")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "token",
+            F.col("n").alias("exact_n"),
+            "est_n",
+            (F.col("est_n") - F.col("n")).alias("overcount"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# KNN label classification over embeddings
+# --------------------------------------------------------------------------
+_KNN_K = 5
+
+
+@query(
+    "knn_label_classifier",
+    oracle=f"""
+WITH nz AS (
+    SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
+), q AS (
+    SELECT vec_id AS query_id, label AS true_label, embedding AS qv
+    FROM nz WHERE vec_id % 25 = 0
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS nlabel, embedding AS cv
+    FROM nz WHERE vec_id % 25 <> 0
+), scored AS (
+    SELECT q.query_id, q.true_label, c.neighbor_id, c.nlabel,
+           ROUND({_dot_sql_duckdb('q.qv', 'c.cv')}
+                 / (SQRT({_dot_sql_duckdb('q.qv', 'q.qv')})
+                    * SQRT({_dot_sql_duckdb('c.cv', 'c.cv')})), 6) AS cosine
+    FROM q JOIN c ON q.query_id <> c.neighbor_id
+), top AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {_KNN_K}
+), votes AS (
+    SELECT query_id, true_label, nlabel, COUNT(*) AS n_votes
+    FROM top GROUP BY query_id, true_label, nlabel
+)
+SELECT query_id, true_label, nlabel AS pred_label, n_votes,
+       nlabel = true_label AS correct
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, nlabel) AS vrk
+    FROM votes
+) WHERE vrk = 1
+ORDER BY query_id
+""",
+    tags=("training", "similarity", "knn", "classifier"),
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN label prediction: for each probe vector (vec_id % 25 = 0),
+    majority vote of its 5 cosine-nearest TRAIN vectors (the disjoint
+    rest of the corpus); ties break to the smaller label. Emits the
+    per-probe prediction and correctness — the embedding-seed-set
+    quality classifier of a curation pipeline, evaluated in-engine.
+
+    Shapes at 100 TB: probes are the small labeled side and broadcast
+    (never shuffle the corpus by probe); scoring is map-only over the
+    corpus, top-k is a per-probe aggregation of k rows, and the vote
+    rollup is O(probes * k). Swap the scored CTE for any registered ANN
+    shortlist (IVF/SRP) to trade exactness for a bucketed probe —
+    output contract unchanged."""
+    e = _t(spark, sf_dir, "embeddings", spread=True)
+    nz = e.withColumn(
+        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
+    ).filter(F.col("nrm") > 0)
+    q = F.broadcast(
+        nz.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = nz.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "nlabel",
+        F.round(F.expr(_dot_expr("qv", "cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cosine"
+        ),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("query_id", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wvote = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "nlabel")
+    return (
+        votes.withColumn("vrk", F.row_number().over(wvote))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+            "n_votes",
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -36,12 +36,12 @@ QUERIES = [
 ]
 
 
-def bench_dir(spark, sf_dir: str, n: int = 2) -> dict:
+def bench_dir(spark, sf_dir: str, n: int = 2, names: list[str] | None = None) -> dict:
     from makerdao_dw_spark.queries import queries_dict
 
     qd = queries_dict()
     out = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         best = None
         for _ in range(n):
             t0 = time.monotonic()
@@ -57,6 +57,7 @@ def main() -> None:
     ap.add_argument("--sf1-dir", default="/tmp/spark_graft_sf1")
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_r4_ops_sf1.json"))
+    ap.add_argument("queries", nargs="*", help="query names (default: the round-4 list)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,8 +70,8 @@ def main() -> None:
         .getOrCreate()
     )
     try:
-        b01 = bench_dir(spark, args.sf01_dir)
-        b1 = bench_dir(spark, args.sf1_dir)
+        b01 = bench_dir(spark, args.sf01_dir, names=args.queries)
+        b1 = bench_dir(spark, args.sf1_dir, names=args.queries)
     finally:
         spark.stop()
     ratios = {k: round(b1[k] / b01[k], 2) for k in b01}
