@@ -63,6 +63,18 @@ def tokens_arr_duck(col: str = "text", min_len: int = 2) -> str:
     )
 
 
+def ws_words_arr(col: str = "text") -> Column:
+    """Whitespace word ARRAY (Spark): split on single spaces, drop
+    empties — the 'word' unit for density/length/fertility metrics
+    (vs tokens_arr's letter-class subword stand-in)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def ws_words_duck(col: str = "text") -> str:
+    """DuckDB twin of ws_words_arr."""
+    return f"list_filter(string_split({col}, ' '), x -> x != '')"
+
+
 def bigram_zip_expr(arr: str = "ts", combine: str = "concat(a, ' ', b)") -> str:
     """Spark SQL expr: zip an array with its tail via two slices whose
     length is clamped >= 0 — a <2-token array yields an EMPTY bigram

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..session import query_table
 from .registry import query
+from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck, ws_words_arr, ws_words_duck
 from .training3 import _BUCKET_DUCK, _BUCKET_SPARK
 
 _t = query_table
@@ -42,10 +43,9 @@ _t = query_table
 # --------------------------------------------------------------------------
 @query(
     "bpe_first_merge",
-    oracle="""
+    oracle=f"""
 WITH words AS (
-    SELECT UNNEST(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' '),
-                              w -> len(w) >= 2)) AS w
+    SELECT UNNEST({tokens_arr_duck('text')}) AS w
     FROM documents
 ), wc AS (
     SELECT w, COUNT(*) AS wn FROM words GROUP BY w
@@ -81,14 +81,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, top-20 via TakeOrdered — no global sort."""
     d = _t(spark, sf_dir, "documents", spread=True)
     wc = (
-        d.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " "),
-                    lambda t: F.length(t) >= 2,
-                )
-            ).alias("w")
-        )
+        d.select(F.explode(tokens_arr("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
     )
@@ -116,12 +109,12 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "curriculum_quality_phases",
-    oracle="""
+    oracle=f"""
 WITH scored AS (
     SELECT doc_id, source, n_chars,
-           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+           len({ws_words_duck('text')}) AS n_tokens,
            ROUND(
-             len(list_filter(string_split(text, ' '), x -> x != ''))
+             len({ws_words_duck('text')})
              / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6
            ) AS tok_density
     FROM documents
@@ -154,9 +147,9 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         "source",
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+        F.size(ws_words_arr("text")).alias("n_tokens"),
         F.round(
-            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            F.size(ws_words_arr("text"))
             / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
             6,
         ).alias("tok_density"),
@@ -194,7 +187,7 @@ WITH split AS (
                generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]
            )) AS g2
     FROM (SELECT doc_id, split,
-                 list_filter(string_split(text, ' '), x -> x != '') AS w
+                 {ws_words_duck('text')} AS w
           FROM split)
 ), train_grams AS (
     SELECT DISTINCT UNNEST(g2) AS gram FROM grams WHERE split = 'train'
@@ -238,23 +231,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = split.select(
         "doc_id",
         "split",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+        ws_words_arr("text").alias("w"),
     ).select(
         "doc_id",
         "split",
-        # Spark SQL array indexing is 0-based (DuckDB's 1-based twin
-        # pairs w[i]/w[i+1]); w is bound once in the projection above.
-        # <2-token docs MUST short-circuit to array(): sequence(1, 0)
-        # DESCENDS in Spark ([1,0]) and w[1] then throws
-        # INVALID_ARRAY_INDEX under ANSI mode (NOTES.md gotcha; caught
-        # by the tiny-corpus sweep's empty-text document)
-        F.array_distinct(
-            F.expr(
-                "if(size(w) >= 2,"
-                "   transform(sequence(1, size(w) - 1), i -> w[i - 1] || ' ' || w[i]),"
-                "   array())"
-            )
-        ).alias("g2"),
+        # clamped-slice zip (text_common): <2-token docs yield an EMPTY
+        # bigram list with no index guard needed
+        F.array_distinct(F.expr(bigram_zip_expr("w"))).alias("g2"),
     )
     # explode_OUTER + explicit NULL filter, not plain explode: explode's
     # inferred size(g2)>0 predicate collapses through the projections

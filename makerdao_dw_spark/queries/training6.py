@@ -183,8 +183,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stopword/boilerplate-token discovery pass of a corpus pipeline.
 
     Shapes at 100 TB: token counts are Zipf-aggregated FIRST (vocab
-    rows, not corpus tokens) before the d-way explode, so sketch
-    construction costs one (token) exchange + one tiny (j, bucket)
+    rows, not corpus tokens) before the d-way explode, and the vocab
+    aggregate is materialized (eager localCheckpoint) before fanning
+    out to its three consumers, so sketch construction costs ONE
+    corpus tokenize + one (token) exchange + one tiny (j, bucket)
     rollup; the cell table is d*w = 256 rows and broadcast-joined back.
     Partial sketches merge by cell-wise SUM — exactly the groupBy — so
     a per-partition/day rollup of these tables IS the mergeable sketch
@@ -195,7 +197,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode_outer(tokens_arr("text")).alias("token"))
         .filter(F.col("token").isNotNull())
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # vocab feeds THREE consumers (hashed probe rows, cells, top-20);
+    # materialize it so the corpus is tokenized once, not three times —
+    # the NOTES.md measured rule: eager-checkpoint an aggregate that is
+    # tiny vs its input stream when AQE can't dedupe the subtrees
+    # (same pattern as lm_bigram_doc_score's db2, text2.py)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     hashed = vocab.select(
         "token", "n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
     ).withColumn(

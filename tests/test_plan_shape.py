@@ -540,6 +540,23 @@ def test_lm_bigram_tokenizes_once(spark):
     assert "Generate" not in p and "parquet" not in p.lower(), p[:3000]
 
 
+def test_cms_tokenizes_once(spark):
+    """cms_heavy_hitters: the (token, n) vocab aggregate feeds THREE
+    consumers (hashed probe rows, cells, top-20) and is materialized
+    with an eager localCheckpoint (same measured rule as lm_bigram:
+    tiny aggregate vs corpus token stream). The consuming plan must
+    read the checkpointed ExistingRDD only — no documents scan, no
+    tokenize/explode replay per consumer."""
+    df = run(spark, "cms_heavy_hitters")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in p, p[:3000]
+    assert "parquet" not in p.lower(), p[:3000]
+    # the tokenize explode must not appear; the ONLY Generate allowed is
+    # the tiny d-way sequence explode over vocab rows
+    assert "explode(filter(split(" not in p.replace(" ", ""), p[:3000]
+
+
 def test_simhash_hamming_single_signature_pass(spark):
     """dedup_simhash_hamming: both 16-bit halves explode into one
     (half, k) bucket stream, so the self-join's two sides are the SAME
@@ -580,13 +597,15 @@ def test_leakage_audit_no_heavy_predicate_below_spread(spark):
     spread at sf0.1). The explode_outer + isNotNull formulation must
     keep every transform(...) lambda ABOVE the exchange: no Filter in
     the optimized plan may contain the bigram transform."""
-    import re
-
     df = run(spark, "split_leakage_audit")
     p = df._jdf.queryExecution().optimizedPlan().toString()
+    # lstrip must strip the ':'-prefixed tree-drawing chars too: Filter
+    # nodes in a LEFT join subtree render as ':  +- Filter (...)' and a
+    # whitespace-only lstrip never matches them (the probe side is the
+    # left child here, so the regression this test pins would hide there)
     heavy = [
         ln
         for ln in p.splitlines()
-        if ln.lstrip().startswith(("Filter", "+- Filter")) and "transform(" in ln
+        if ln.lstrip(" +-:").startswith("Filter") and "transform(" in ln
     ]
     assert not heavy, heavy[:2]
