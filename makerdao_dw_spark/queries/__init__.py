@@ -33,6 +33,7 @@ from . import (  # noqa: E402,F401
     training4,
     training5,
     training6,
+    training7,
     udaf,
     warehouse,
 )
