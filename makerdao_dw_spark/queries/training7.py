@@ -63,26 +63,18 @@ WITH sized AS (
     SELECT CAST({_bucket_case_duck('n_tokens')} AS BIGINT) AS bucket_len,
            LEAST(n_tokens, {_BUCKETS[-1]}) AS kept_tokens
     FROM sized
-), per_bucket AS (
-    SELECT CAST(bucket_len AS VARCHAR) AS scope, bucket_len,
+), rolled AS (
+    SELECT COALESCE(CAST(bucket_len AS VARCHAR), 'TOTAL') AS scope, bucket_len,
            COUNT(*) AS n_docs,
            CAST(SUM(kept_tokens) AS BIGINT) AS data_tokens,
-           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens
-    FROM bucketed GROUP BY bucket_len
+           CAST(SUM(bucket_len) AS BIGINT) AS padded_tokens
+    FROM bucketed GROUP BY ROLLUP(bucket_len)
 )
 SELECT scope, n_docs, data_tokens, padded_tokens,
        ROUND(1.0 - CAST(data_tokens AS DOUBLE) / CAST(padded_tokens AS DOUBLE), 6)
            AS waste_frac
-FROM (
-    SELECT scope, bucket_len, n_docs, data_tokens, padded_tokens FROM per_bucket
-    UNION ALL
-    SELECT 'TOTAL', {_BUCKETS[-1] + 1},
-           CAST(SUM(n_docs) AS BIGINT),
-           CAST(SUM(data_tokens) AS BIGINT),
-           CAST(SUM(padded_tokens) AS BIGINT)
-    FROM per_bucket
-)
-ORDER BY bucket_len
+FROM rolled
+ORDER BY bucket_len NULLS LAST
 """,
     tags=("training", "batching", "padding", "packing"),
 )
@@ -95,38 +87,29 @@ def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding. The report that justifies (or kills) bucketed batching
     for a corpus.
 
-    Shapes at 100 TB: sizing is map-only; the rollup groups on a
-    6-value key (one tiny exchange); TOTAL re-aggregates the 6-row
-    bucket table, not the corpus. The CASE ladder is exact integer
-    compare — no log2 float edge to drift cross-engine."""
+    Shapes at 100 TB: sizing is map-only; ONE rollup pass produces the
+    per-bucket rows AND the grand total (per-doc padded contribution is
+    just bucket_len, so the TOTAL is a plain SUM — no union, no second
+    scan, one tiny 6-key exchange). The CASE ladder is exact integer
+    compare — no log2 float edge to drift cross-engine. Spark emits no
+    rollup rows over an EMPTY corpus where DuckDB emits the ()-group
+    total — the known engine-semantic divergence pinned in
+    tests/test_degenerate_inputs.py SKIP_EMPTY_COMPARE."""
     d = _t(spark, sf_dir, "documents", spread=True)
     sized = d.select(F.size(tokens_arr("text")).alias("n_tokens"))
     bucketed = sized.select(
         _bucket_case_spark(F.col("n_tokens")).cast("long").alias("bucket_len"),
         F.least(F.col("n_tokens"), F.lit(_BUCKETS[-1])).alias("kept_tokens"),
     )
-    per_bucket = bucketed.groupBy("bucket_len").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("kept_tokens").alias("data_tokens"),
-        (F.count(F.lit(1)) * F.col("bucket_len")).alias("padded_tokens"),
-    ).select(
-        F.col("bucket_len").cast("string").alias("scope"),
-        "bucket_len",
-        "n_docs",
-        "data_tokens",
-        "padded_tokens",
-    )
-    total = per_bucket.groupBy().agg(
-        F.lit("TOTAL").alias("scope"),
-        F.lit(_BUCKETS[-1] + 1).cast("long").alias("bucket_len"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("data_tokens").alias("data_tokens"),
-        F.sum("padded_tokens").alias("padded_tokens"),
-    )
     return (
-        per_bucket.unionByName(total)
+        bucketed.rollup("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").alias("data_tokens"),
+            F.sum("bucket_len").alias("padded_tokens"),
+        )
         .select(
-            "scope",
+            F.coalesce(F.col("bucket_len").cast("string"), F.lit("TOTAL")).alias("scope"),
             "bucket_len",
             "n_docs",
             "data_tokens",
@@ -136,7 +119,7 @@ def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("waste_frac"),
         )
-        .orderBy("bucket_len")
+        .orderBy(F.col("bucket_len").asc_nulls_last())
         .drop("bucket_len")
     )
 

@@ -134,6 +134,7 @@ SKIP_EMPTY_COMPARE = {
     "cube_order_stats",
     "grouping_sets_events",
     "lang_source_rollup",
+    "padding_waste_by_bucket",
 }
 
 
