@@ -34,6 +34,7 @@ from . import (  # noqa: E402,F401
     training5,
     training6,
     training7,
+    training8,
     udaf,
     warehouse,
 )

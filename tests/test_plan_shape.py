@@ -609,3 +609,54 @@ def test_leakage_audit_no_heavy_predicate_below_spread(spark):
         if ln.lstrip(" +-:").startswith("Filter") and "transform(" in ln
     ]
     assert not heavy, heavy[:2]
+
+
+def _heavy_pushed_filters(df) -> list[str]:
+    """Optimized-plan Filter lines carrying a higher-order lambda chain
+    — the round-6 inferred-predicate hazard (NOTES): such a Filter
+    below the spread repartition re-evaluates the whole expression
+    single-threaded in the one-file scan task."""
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    return [
+        ln
+        for ln in p.splitlines()
+        if ln.lstrip(" +-:").startswith("Filter")
+        and ("lambdafunction" in ln or "transform(" in ln)
+    ]
+
+
+def test_dup_span_single_gram_evaluation(spark):
+    """dup_span_coverage: the cross-doc-frequency gate is a min!=max
+    window on the gram key, NOT a countDistinct aggregate + join back
+    (countDistinct's two-phase expand keys on (ghash, doc_id) and
+    forces a second evaluation of the md5-gram pipeline). The
+    optimized plan must read parquet at most twice (slim docs rollup +
+    one gram pipeline) and push no lambda-laden Filter."""
+    df = run(spark, "dup_span_coverage")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") <= 2, o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+
+def test_novelty_curve_reuses_gram_exchange(spark):
+    """ngram_novelty_curve: the min-doc-per-gram aggregate and the
+    join probe both hash on ghash — one exchange, reused at runtime."""
+    df = run(spark, "ngram_novelty_curve")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+    assert not _heavy_pushed_filters(df)
+
+
+def test_lsh_sweep_single_signature_pass(spark):
+    """lsh_parameter_sweep: signatures are materialized ONCE via eager
+    localCheckpoint; the consuming plan (3 band subtrees + both sides
+    of the est-jaccard join) must read the checkpointed ExistingRDD —
+    no parquet scan, no re-shingling (the minhash base-hash marker
+    conv(substring(md5 must not appear; band md5s are expected)."""
+    df = run(spark, "lsh_parameter_sweep")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in p, p[:3000]
+    assert "parquet" not in p.lower(), p[:3000]
+    assert "conv(substring(md5" not in p.replace(" ", ""), p[:3000]
