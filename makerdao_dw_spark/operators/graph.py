@@ -3,13 +3,17 @@ propagation (the transitive-closure step of near-dup clustering: LSH
 emits PAIRS, but a dup cluster is a component — {a~b, b~c} must elect
 ONE canonical doc for {a,b,c}).
 
-Algorithm (large-star/small-star simplified to label propagation):
-every node starts labeled with its own id; each round, every node takes
-the min label in its neighborhood (including itself); converges in
-O(diameter) rounds — O(log n) expected on clustered graphs. Each round
-is one join + one groupBy (two shuffles on uniform keys); lineage is cut
-each round so the plan doesn't grow across iterations — the standard
-Spark pattern for iterative algorithms (same as PageRank).
+Algorithm: min-label propagation WITH pointer jumping (hash-to-min
+family). Every node starts labeled with its own id; each round, every
+node takes (a) the min label in its neighborhood (including itself),
+then (b) shortcuts through its label's label — L(u) <- L(L(u)) — which
+halves pointer-chain depth per round. Pure neighborhood propagation
+needs O(diameter) rounds (a 10^6-long near-dup chain = 10^6 shuffles);
+the jump step cuts that to O(log diameter), the property that makes CC
+viable on arbitrary 100 TB graphs, not just the near-clique clusters
+LSH emits. Each round is two joins + one groupBy (uniform keys);
+lineage is cut each round so the plan doesn't grow across iterations —
+the standard Spark pattern for iterative algorithms (same as PageRank).
 
 Lineage cutting is RELIABLE-checkpoint-aware: localCheckpoint (the
 local[*] default) stores blocks on executors, so losing one executor
@@ -124,12 +128,26 @@ def connected_components(
             .unionByName(labels.withColumn("old", F.col("component")))
         )
         agg = offered.groupBy("node").agg(
-            F.min("component").alias("component"),
+            F.min("component").alias("mid"),
             # exactly one self-row per node => max(old) IS the old label
             F.max("old").alias("old"),
         )
+        # pointer jump: follow the candidate label to ITS label.
+        # Invariant: every label value is a node id present in `labels`
+        # (initial labels are neighbor/self ids; jumped labels are label
+        # values of such ids), and labels are monotone non-increasing,
+        # so L(L(u)) <= L(u) — the shortcut can only tighten. This is
+        # what turns O(diameter) rounds into O(log diameter): a pointer
+        # chain of depth d halves every round. LEFT + coalesce keeps
+        # the step total even if the invariant were perturbed upstream.
+        jump = labels.select(
+            F.col("node").alias("mid"), F.col("component").alias("jumped")
+        )
+        joined = agg.join(jump, "mid", "left").select(
+            "node", F.coalesce("jumped", "mid").alias("component"), "old"
+        )
         obs = Observation()
-        flagged = agg.observe(
+        flagged = joined.observe(
             obs,
             F.sum((F.col("component") != F.col("old")).cast("long")).alias("n_changed"),
         )
@@ -139,9 +157,9 @@ def connected_components(
             return labels
     # exhausting max_iter without convergence means some component's
     # labels are WRONG (one real component reported as several) — that
-    # must be an explicit failure, never a silent wrong answer. Diameter
-    # > max_iter only happens on chain-like graphs; LSH dup clusters are
-    # near-cliques, so the default 20 is generous there.
+    # must be an explicit failure, never a silent wrong answer. With
+    # pointer jumping, 20 rounds cover diameters up to ~2^20, so hitting
+    # this indicates a pathology worth failing loudly on.
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "raise max_iter (graph diameter exceeds it)"

@@ -35,6 +35,7 @@ from . import (  # noqa: E402,F401
     training6,
     training7,
     training8,
+    training9,
     udaf,
     warehouse,
 )

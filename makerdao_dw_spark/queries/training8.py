@@ -46,7 +46,12 @@ from ..operators.text_features import (
 from ..session import query_table
 from .dedup import LSH_BUCKET_CAP, NUM_HASHES
 from .registry import query
-from .text_common import ws_words_duck
+from .text_common import (
+    gram_md5_arr_duck,
+    gram_md5_arr_spark,
+    gram_md5_pos_duck,
+    ws_words_duck,
+)
 
 _t = query_table
 
@@ -56,21 +61,8 @@ _t = query_table
 _SPAN_K = 4  # span unit: word 4-grams (cross-doc repeats are meaningful;
 # bigrams over a small vocab are all shared, 8-grams almost never)
 
-# 4-gram md5 keys WITH start positions. try_element_at past the end is
-# NULL, NULL || x propagates, and the filter drops them — so a <4-word
-# doc yields an EMPTY array (sequence() is clamped to start at 1 so it
-# can never run DESCENDING, the Spark start>stop landmine).
-_G4_SPARK = (
-    "filter(transform(sequence(1, greatest(size(w) - 3, 1)), "
-    "i -> md5(cast(try_element_at(w, i) || ' ' || try_element_at(w, i + 1) || ' ' || "
-    "try_element_at(w, i + 2) || ' ' || try_element_at(w, i + 3) as binary))), "
-    "s -> s is not null)"
-)
-
-_G4_DUCK = (
-    "list_transform(generate_series(1, len(w) - 3), "
-    "i -> {'p0': i - 1, 'ghash': md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])})"
-)
+_G4_SPARK = gram_md5_arr_spark(4)
+_G4_DUCK = gram_md5_pos_duck(4)
 
 
 @query(
@@ -176,16 +168,8 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Corpus novelty decay by collection decile
 # --------------------------------------------------------------------------
-_G3_SPARK = (
-    "filter(transform(sequence(1, greatest(size(w) - 2, 1)), "
-    "i -> md5(cast(try_element_at(w, i) || ' ' || try_element_at(w, i + 1) || ' ' || "
-    "try_element_at(w, i + 2) as binary))), s -> s is not null)"
-)
-
-_G3_DUCK = (
-    "list_transform(generate_series(1, len(w) - 2), "
-    "i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
-)
+_G3_SPARK = gram_md5_arr_spark(3)
+_G3_DUCK = gram_md5_arr_duck(3)
 
 # id-range decile: least(id * 10 / (max_id + 1), 9) + 1 — a STATIC
 # assignment (no global NTILE sort; at 100 TB the bucket predicate
