@@ -148,3 +148,16 @@ def band_hashes_sql_duckdb(sig_col: str, bands: int = 4, rows: int = 4) -> str:
         for b in range(bands)
     )
     return f"[{exprs}]"
+
+
+def sorted_pairs_expr(arr: str) -> str:
+    """Spark expr: all i<j (doc_a, doc_b) struct pairs of a sorted id
+    array — the in-bucket pair expansion shared by the LSH candidate
+    pipeline and the parameter sweep (one definition: a cap or ANSI
+    edge fix here reaches both). Requires size(arr) >= 2 (the bucket
+    gate guarantees it), so sequence() never runs descending."""
+    return (
+        f"flatten(transform(sequence(1, size({arr}) - 1), "
+        f"i -> transform(slice({arr}, i + 1, size({arr}) - i), "
+        f"j -> named_struct('doc_a', element_at({arr}, i), 'doc_b', j))))"
+    )

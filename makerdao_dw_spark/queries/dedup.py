@@ -30,6 +30,7 @@ from ..operators.text_features import (
     minhash_signature_sql_duckdb,
     shingles_expr,
     shingles_sql_duckdb,
+    sorted_pairs_expr,
 )
 from ..session import configure, load_table
 from .registry import query
@@ -206,13 +207,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (1 < n <= LSH_BUCKET_CAP) lives in _lsh_buckets, pre-collect."""
     buckets = _lsh_buckets(spark, sf_dir)
     pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(ds) - 1),"
-                " i -> transform(slice(ds, i + 1, size(ds) - i),"
-                "      y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
+        F.explode(F.expr(sorted_pairs_expr("ds"))).alias("p")
     ).select("p.doc_a", "p.doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")

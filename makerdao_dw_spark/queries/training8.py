@@ -42,6 +42,7 @@ from ..operators.text_features import (
     minhash_signature_sql_duckdb,
     shingles_expr,
     shingles_sql_duckdb,
+    sorted_pairs_expr,
 )
 from ..session import query_table
 from .dedup import LSH_BUCKET_CAP, NUM_HASHES
@@ -50,6 +51,7 @@ from .text_common import (
     gram_md5_arr_duck,
     gram_md5_arr_spark,
     gram_md5_pos_duck,
+    ws_words_arr,
     ws_words_duck,
 )
 
@@ -61,8 +63,8 @@ _t = query_table
 _SPAN_K = 4  # span unit: word 4-grams (cross-doc repeats are meaningful;
 # bigrams over a small vocab are all shared, 8-grams almost never)
 
-_G4_SPARK = gram_md5_arr_spark(4)
-_G4_DUCK = gram_md5_pos_duck(4)
+_G4_SPARK = gram_md5_arr_spark(_SPAN_K)
+_G4_DUCK = gram_md5_pos_duck(_SPAN_K)
 
 
 @query(
@@ -120,7 +122,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the inferred size()>0 hazard, NOTES round-6)."""
     d = _t(spark, sf_dir, "documents", spread=True)
     toks = d.select(
-        "doc_id", "source", F.expr("filter(split(text, ' '), x -> x != '')").alias("w")
+        "doc_id", "source", ws_words_arr("text").alias("w")
     )
     docs = toks.select("doc_id", "source", F.size("w").alias("n_words"))
     grams = toks.select(
@@ -225,7 +227,7 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim documents projection so gram-free deciles still appear."""
     d = _t(spark, sf_dir, "documents", spread=True)
     mx = F.broadcast(d.agg(F.max("doc_id").alias("max_id")))
-    toks = d.select("doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("w"))
+    toks = d.select("doc_id", ws_words_arr("text").alias("w"))
     grams = toks.select(
         "doc_id", F.explode_outer(F.expr(_G3_SPARK)).alias("ghash")
     ).filter(F.col("ghash").isNotNull())
@@ -264,16 +266,6 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH (bands x rows) parameter sweep from one signature pass
 # --------------------------------------------------------------------------
 _SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows): precise -> aggressive
-
-
-def _pairs_expr(arr: str) -> str:
-    """All i<j pairs of a sorted doc array (size >= 2 guaranteed by the
-    bucket gate, so sequence() never descends)."""
-    return (
-        f"flatten(transform(sequence(1, size({arr}) - 1), "
-        f"i -> transform(slice({arr}, i + 1, size({arr}) - i), "
-        f"j -> named_struct('doc_a', element_at({arr}, i), 'doc_b', j))))"
-    )
 
 
 def _sweep_oracle() -> str:
@@ -368,7 +360,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         )
         pairs = (
-            buckets.select(F.explode(F.expr(_pairs_expr("ds"))).alias("p"))
+            buckets.select(F.explode(F.expr(sorted_pairs_expr("ds"))).alias("p"))
             .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
             .distinct()
         )

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from ..session import query_table
 from .dedup import _CC_CORE, _lsh_candidate_pairs
 from .registry import query
-from .text_common import gram_md5_arr_duck, gram_md5_arr_spark, ws_words_duck
+from .text_common import (
+    gram_md5_arr_duck,
+    gram_md5_arr_spark,
+    ws_words_arr,
+    ws_words_duck,
+)
 
 _t = query_table
 
@@ -95,7 +100,7 @@ def novelty_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents", spread=True)
     is_batch = F.expr(_IS_BATCH_SPARK)
     toks = d.select(
-        "doc_id", "source", F.expr("filter(split(text, ' '), x -> x != '')").alias("w")
+        "doc_id", "source", ws_words_arr("text").alias("w")
     )
     grams = toks.select(
         "doc_id", "source", F.explode_outer(F.expr(_G3_SPARK)).alias("ghash")
@@ -252,7 +257,7 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.round(
-            F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+            F.size(ws_words_arr("text"))
             / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
             6,
         ).alias("score"),

@@ -570,13 +570,7 @@ def test_simhash_hamming_single_signature_pass(spark):
     # join key makes InferFilters add isnotnull(<md5-per-token fold>),
     # re-evaluated single-threaded below the spread repartition (fixed
     # round 6 by the coalesce nullability pin — 2.45 s -> 1.6 s sf0.1)
-    o = df._jdf.queryExecution().optimizedPlan().toString()
-    heavy = [
-        ln
-        for ln in o.splitlines()
-        if ln.lstrip(" +-:").startswith("Filter") and "lambdafunction" in ln
-    ]
-    assert not heavy, heavy[:1]
+    assert not _heavy_pushed_filters(df)
 
 
 def test_prefix_filter_reuses_shingle_exchange(spark):
@@ -598,24 +592,18 @@ def test_leakage_audit_no_heavy_predicate_below_spread(spark):
     keep every transform(...) lambda ABOVE the exchange: no Filter in
     the optimized plan may contain the bigram transform."""
     df = run(spark, "split_leakage_audit")
-    p = df._jdf.queryExecution().optimizedPlan().toString()
-    # lstrip must strip the ':'-prefixed tree-drawing chars too: Filter
-    # nodes in a LEFT join subtree render as ':  +- Filter (...)' and a
-    # whitespace-only lstrip never matches them (the probe side is the
-    # left child here, so the regression this test pins would hide there)
-    heavy = [
-        ln
-        for ln in p.splitlines()
-        if ln.lstrip(" +-:").startswith("Filter") and "transform(" in ln
-    ]
-    assert not heavy, heavy[:2]
+    assert not _heavy_pushed_filters(df)
 
 
 def _heavy_pushed_filters(df) -> list[str]:
     """Optimized-plan Filter lines carrying a higher-order lambda chain
     — the round-6 inferred-predicate hazard (NOTES): such a Filter
     below the spread repartition re-evaluates the whole expression
-    single-threaded in the one-file scan task."""
+    single-threaded in the one-file scan task. lstrip must strip the
+    ':'-prefixed tree-drawing chars too: Filter nodes in a LEFT join
+    subtree render as ':  +- Filter (...)' and a whitespace-only
+    lstrip never matches them. Matches both "transform(" and
+    "lambdafunction" spellings of the hazard."""
     p = df._jdf.queryExecution().optimizedPlan().toString()
     return [
         ln
