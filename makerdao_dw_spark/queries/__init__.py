@@ -36,6 +36,7 @@ from . import (  # noqa: E402,F401
     training7,
     training8,
     training9,
+    training10,
     udaf,
     warehouse,
 )

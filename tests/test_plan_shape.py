@@ -648,3 +648,38 @@ def test_lsh_sweep_single_signature_pass(spark):
     assert "ExistingRDD" in p, p[:3000]
     assert "parquet" not in p.lower(), p[:3000]
     assert "conv(substring(md5" not in p.replace(" ", ""), p[:3000]
+
+
+def test_wave10_token_queries_plan_hygiene(spark):
+    """zipf_tail_fit: ONE documents scan (one tokenize pass feeding the
+    count table). source_token_kl: the count table is eager-local-
+    checkpointed (cms pattern) because BOTH the broadcast corpus total
+    and the window pass consume it — the consuming plan must read the
+    ExistingRDD and re-tokenize nothing. Neither may push a
+    lambda-laden Filter (round-6 inferred-predicate hazard — both use
+    explode_outer + isNotNull for exactly this)."""
+    df = run(spark, "zipf_tail_fit")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") <= 1, o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+    df = run(spark, "source_token_kl")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    # the checkpointed count table appears as LogicalRDD in the
+    # optimized LOGICAL plan (ExistingRDD is its physical spelling)
+    assert "LogicalRDD" in o, o[:3000]
+    assert "parquet" not in o.lower(), o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+
+def test_pca_projection_is_map_side(spark):
+    """embedding_pca_power_iteration: after training (driver holds only
+    O(dim) literals), the RETURNED plan is scan -> map-side fold ->
+    one hash aggregate — no join, no window, exactly one parquet scan.
+    The broadcast-literal (mu, v) arrays must appear as plain literals,
+    not a join against a centroid table."""
+    df = run(spark, "embedding_pca_power_iteration")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    assert "Join" not in o, o[:3000]
+    assert not _heavy_pushed_filters(df)
