@@ -47,17 +47,45 @@ def _lit_arr(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
-def centered_projection(vec_col: str, mu: list[float], v: list[float]) -> Column:
-    """(x - mu) . v as a fixed-order left fold — pure JVM expression,
-    no shuffle, no Python."""
-    centered = F.zip_with(
-        F.col(vec_col), _lit_arr(mu), lambda x, m: x.cast("double") - m
-    )
+def centered_arr(vec_col: str, mu: list[float]) -> Column:
+    """(x - mu) as a double array — pure JVM expression."""
+    return F.zip_with(F.col(vec_col), _lit_arr(mu), lambda x, m: x.cast("double") - m)
+
+
+def projection_of(centered: Column, v: list[float]) -> Column:
+    """centered . v as a fixed-order left fold. Takes the prebuilt
+    centered array so a caller that also consumes (x - mu) elementwise
+    (the growth pass) evaluates the centering ONCE — Spark does not CSE
+    across separate lambda-bearing higher-order expressions."""
     return F.aggregate(
         F.zip_with(centered, _lit_arr(v), lambda x, w: x * w),
         F.lit(0.0),
         lambda acc, p: acc + p,
     )
+
+
+def centered_projection(vec_col: str, mu: list[float], v: list[float]) -> Column:
+    """(x - mu) . v — pure JVM expression, no shuffle, no Python."""
+    return projection_of(centered_arr(vec_col, mu), v)
+
+
+def _as_dense(rows, dim: int, field: str) -> list[float]:
+    """Scatter collected (pos, value) rows into a dim-length list,
+    validating that the data actually has `dim` dimensions: longer
+    vectors would IndexError opaquely on the driver, shorter/ragged
+    ones would silently diverge from the fixed-width oracle — both
+    become a clear error here instead."""
+    positions = {r["pos"] for r in rows}
+    if positions != set(range(dim)):
+        raise ValueError(
+            f"pca: vector column does not have the declared dim={dim} "
+            f"(observed positions 0..{max(positions)}, {len(positions)} "
+            f"distinct{' — ragged or truncated input' if len(positions) < dim else ''})"
+        )
+    out = [0.0] * dim
+    for r in rows:
+        out[r["pos"]] = float(r[field])
+    return out
 
 
 def _per_dim_decimal_sums(df: DataFrame, arr: Column, dim: int) -> list[float] | None:
@@ -72,10 +100,7 @@ def _per_dim_decimal_sums(df: DataFrame, arr: Column, dim: int) -> list[float] |
     )
     if not rows:
         return None
-    out = [0.0] * dim
-    for r in rows:
-        out[r["pos"]] = float(r["s"])
-    return out
+    return _as_dense(rows, dim, "s")
 
 
 def power_iteration_pc1(
@@ -98,16 +123,12 @@ def power_iteration_pc1(
     )
     if not n_mu:
         return None
-    mu = [0.0] * dim
-    for r in n_mu:
-        mu[r["pos"]] = float(r["m"])
+    mu = _as_dense(n_mu, dim, "m")
 
     v = [1.0 / math.sqrt(float(dim))] * dim
     for _ in range(n_iter):
-        centered = F.zip_with(
-            F.col(vec_col), _lit_arr(mu), lambda x, m: x.cast("double") - m
-        )
-        t = centered_projection(vec_col, mu, v)
+        centered = centered_arr(vec_col, mu)
+        t = projection_of(centered, v)
         w = _per_dim_decimal_sums(
             df.withColumn("t", t),
             F.transform(centered, lambda x: x * F.col("t")),

@@ -175,16 +175,18 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # Shared word-count fragment (whitespace words over documents)
 # --------------------------------------------------------------------------
-def _word_counts(spark: SparkSession, sf_dir: str, n_col: str) -> DataFrame:
-    """(source, word, n) — one tokenize pass. explode_outer + isNotNull
-    (not bare explode) so the optimizer can't infer a size()>0 filter
-    carrying the tokenizer lambda below the spread repartition (the
-    round-6 pushed-Filter hazard, NOTES)."""
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, word, n) — one tokenize pass; the column name `n` is
+    part of the contract with _COUNTS_DUCK below (single-definition
+    rule). explode_outer + isNotNull (not bare explode) so the
+    optimizer can't infer a size()>0 filter carrying the tokenizer
+    lambda below the spread repartition (the round-6 pushed-Filter
+    hazard, NOTES)."""
     d = _t(spark, sf_dir, "documents", spread=True)
     toks = d.select(
         "source", F.explode_outer(ws_words_arr("text")).alias("word")
     ).filter(F.col("word").isNotNull())
-    return toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias(n_col))
+    return toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
 
 
 _COUNTS_DUCK = f"""toks AS (
@@ -242,7 +244,7 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole tokenize pipeline runs twice. Measured rule from NOTES:
     checkpoint pays when the aggregate is much smaller than its input
     stream — vocab x sources vs the full token stream here."""
-    counts = _word_counts(spark, sf_dir, "n").localCheckpoint(eager=True)
+    counts = _word_counts(spark, sf_dir).localCheckpoint(eager=True)
     tot = F.broadcast(counts.agg(F.sum("n").cast("double").alias("nn")))
     enr = counts.select(
         "source",
@@ -349,7 +351,7 @@ def zipf_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields NULL via NULLIF instead of an engine-specific inf. Top-50 is
     a row_number cap per source, so the fit input is O(sources) rows no
     matter the corpus size."""
-    counts = _word_counts(spark, sf_dir, "n")
+    counts = _word_counts(spark, sf_dir)
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("word").asc())
     )
