@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from makerdao_dw_spark.operators.pca import power_iteration_pc1
@@ -69,3 +71,26 @@ def test_fit_is_partitioning_invariant(spark):
         _mk(spark, list(reversed(rows)), parts=13), "embedding", DIM, 2
     )
     assert fit1 == fit2
+
+
+def test_matches_numpy_power_iteration(spark):
+    """Independent-implementation check (the kmeans precedent): the
+    same algorithm in NumPy — mean-center, two power steps from the
+    normalized all-ones vector — must agree to float tolerance (NumPy
+    sums in a different order, so not bit-exact; 1e-9 relative is far
+    below any real divergence and far above double noise here)."""
+    np = pytest.importorskip("numpy")
+    rng_rows = [
+        [math.sin(i * 0.91) * 3, math.cos(i * 1.3), math.sin(i * 2.7) * 0.4, i % 7 * 0.1]
+        for i in range(50)
+    ]
+    mu, v = power_iteration_pc1(_mk(spark, rng_rows, parts=5), "embedding", DIM, 2)
+    x = np.array(rng_rows)
+    nmu = x.mean(axis=0)
+    nv = np.ones(DIM) / math.sqrt(DIM)
+    c = x - nmu
+    for _ in range(2):
+        w = c.T @ (c @ nv)
+        nv = w / np.linalg.norm(w)
+    assert np.allclose(mu, nmu, rtol=0, atol=1e-9)
+    assert np.allclose(v, nv, rtol=0, atol=1e-9)
