@@ -37,6 +37,7 @@ from . import (  # noqa: E402,F401
     training8,
     training9,
     training10,
+    training11,
     udaf,
     warehouse,
 )

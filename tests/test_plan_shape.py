@@ -683,3 +683,31 @@ def test_pca_projection_is_map_side(spark):
     assert o.lower().count("parquet") == 1, o[:3000]
     assert "Join" not in o, o[:3000]
     assert not _heavy_pushed_filters(df)
+
+
+def test_wave11_plan_hygiene(spark):
+    """target_encoding_loo: the checkpointed category-stats table feeds
+    both broadcast sides, so the plan holds exactly ONE orders scan
+    (the encode pass — with the key-sample filter pushed) and two
+    broadcast joins, never a shuffle join. ks_feature_drift: the
+    distinct-value table is checkpointed — ONE documents scan.
+    feature_hash_vectorize: one scan, no lambda-laden pushed Filter."""
+    df = run(spark, "target_encoding_loo")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") == 2, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+
+    # ks_feature_drift: the checkpointed distinct-value table absorbs
+    # the (single) corpus scan — the consuming plan reads only the
+    # LogicalRDD. feature_hash_vectorize: one live scan.
+    df = run(spark, "ks_feature_drift")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+    df = run(spark, "feature_hash_vectorize")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    assert not _heavy_pushed_filters(df)
