@@ -19,6 +19,7 @@ from . import (  # noqa: E402,F401
     olap,
     relational,
     similarity,
+    similarity2,
     sketches,
     streaming,
     text,

@@ -68,3 +68,42 @@ def test_enough_probes_for_floors(rows):
     probe_mod change) could leave 1-2 probes, making recall a coin
     flip that still clears the floors. 20 probes at round-6 sf0.01."""
     assert all(r["n_probes"] >= 10 for r in rows), rows
+
+
+def test_pq_adc_shortlist_recall(spark):
+    """ann_pq_adc: the exact-rescored top-3 must recover most of the
+    true L2 top-3 (shortlist recall — measured 0.73 at round-6 sf0.01
+    with the 50-wide ADC shortlist; floor 0.55 to survive corpus
+    regeneration). Also pins that the 'exact' rescore really is exact:
+    every emitted exact_dist matches an independent NumPy computation."""
+    import duckdb
+    import numpy as np
+
+    from makerdao_dw_spark.queries import REGISTRY
+
+    rows = REGISTRY["ann_pq_adc"].fn(spark, SF).collect()
+    assert rows, "no PQ results"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in d])
+    x = np.array([r[1] for r in d], dtype=np.float64)
+
+    hits = tot = 0
+    for q, rs in by_q.items():
+        qi = int(np.where(ids == q)[0][0])
+        dist = ((x - x[qi]) ** 2).sum(axis=1)
+        dist[qi] = np.inf
+        exact3 = set(ids[np.lexsort((ids, dist))[:3]].tolist())
+        hits += len(exact3 & {r["neighbor_id"] for r in rs})
+        tot += 3
+        for r in rs:  # the rescore is a true L2^2, not another estimate
+            ci = int(np.where(ids == r["neighbor_id"])[0][0])
+            assert abs(r["exact_dist"] - dist[ci]) < 1e-6, r
+    assert len(by_q) >= 5, "probe set too small for a meaningful floor"
+    assert hits / tot >= 0.55, f"PQ shortlist recall@3 = {hits}/{tot}"

@@ -32,6 +32,7 @@ SKIP_EMPTY = {
     # user error the operator raises on (pinned in test_extensions)
     "ann_ivf_kmeans",
     "semdedup_kmeans_prune",
+    "ann_pq_adc",  # 4 subspace codebooks, k=4 each — same kmeans_fit raise
 }
 
 

@@ -711,3 +711,17 @@ def test_wave11_plan_hygiene(spark):
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 1, o[:3000]
     assert not _heavy_pushed_filters(df)
+
+
+def test_pq_adc_plan_shape(spark):
+    """ann_pq_adc: after the driver-side codebook training, the scoring
+    plan is probe-broadcast x candidate scan — the probe side must
+    BROADCAST (never shuffle the candidate table for 10 probes), the
+    ADC arithmetic and the exact-rescore fold stay JVM-side, and no
+    lambda-laden Filter is pushed below the spread repartition."""
+    df = run(spark, "ann_pq_adc")
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
+    assert not _heavy_pushed_filters(df)
