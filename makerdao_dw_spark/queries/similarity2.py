@@ -19,7 +19,7 @@ per probe by approximate distance) -> exact L2 rescore of the
 shortlist only -> top-3. Pure ADC ranking is deliberately not the
 final answer: on a high-dimensional corpus the quantization error
 rivals inter-point distances (measured on this corpus: recall@3 of
-raw ADC top-3 is ~0.1-0.3 across (m, k) settings, vs ~0.73 for the
+raw ADC top-3 is 0.03-0.37 across (m, k) settings, vs ~0.73 for the
 50-wide shortlist — the number a retrieval user actually gets; see
 SCALE.md and tests/test_ann_recall.py). This is the same
 shortlist+rescore contract as `ann_quantized_rescore`, with trained
@@ -208,6 +208,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.withColumn(
             f"sv{s}", F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
         )
+    # materialize the sliced corpus ONCE: the 4 sequential trainings
+    # issue ~12 driver-side jobs (init + 2 mean updates each), and
+    # without the cut every one re-reads and re-slices the parquet
+    # (review finding, wave 12). One local write, 13 local reads.
+    e = e.localCheckpoint(eager=True)
     cents = [
         kmeans_fit(
             e.select("vec_id", f"sv{s}"), f"sv{s}", "vec_id", k=_PQ_K,

@@ -190,6 +190,7 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH base AS (
     SELECT n_chars AS x, ({_IS_BATCH_DUCK}) AS b FROM documents
+    WHERE n_chars IS NOT NULL
 ),
 per AS (
     SELECT x,
@@ -224,7 +225,12 @@ def ks_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy work is one groupBy(x) count shuffle. Empty samples yield
     NULL ECDFs via NULLIF (never 0/0) on both engines."""
     d = _t(spark, sf_dir, "documents", spread=True)
-    base = d.select(
+    # NULL lengths are not ECDF sample points — and they MUST be
+    # filtered for cross-engine parity: Spark's Window.orderBy sorts
+    # NULLS FIRST, DuckDB's OVER (ORDER BY x) NULLS LAST, so a single
+    # NULL row would shift every cumulative count on one engine only
+    # (the relational.py:785 divergence class; found by review, wave 11).
+    base = d.filter(F.col("n_chars").isNotNull()).select(
         F.col("n_chars").alias("x"), F.expr(_IS_BATCH_SPARK).alias("b")
     )
     # distinct-length table: tiny, and consumed by both the broadcast

@@ -89,7 +89,11 @@ def test_pq_adc_shortlist_recall(spark):
 
     con = duckdb.connect()
     d = con.execute(
-        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+        # mirror the query's NULL filter: a regenerated corpus with a
+        # NULL embedding must not crash the ground-truth load (or skew
+        # it with vectors the query excludes)
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' "
+        f"WHERE embedding IS NOT NULL ORDER BY vec_id"
     ).fetchall()
     ids = np.array([r[0] for r in d])
     x = np.array([r[1] for r in d], dtype=np.float64)

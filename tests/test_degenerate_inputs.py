@@ -32,7 +32,7 @@ SKIP_EMPTY = {
     # user error the operator raises on (pinned in test_extensions)
     "ann_ivf_kmeans",
     "semdedup_kmeans_prune",
-    "ann_pq_adc",  # 4 subspace codebooks, k=4 each — same kmeans_fit raise
+    "ann_pq_adc",  # 4 subspace codebooks, k=16 each (needs >= 16 vectors) — same kmeans_fit raise
 }
 
 
@@ -199,3 +199,34 @@ def test_empty_corpus_matches_oracle(spark, empty_dir, name):
     from .conftest import compare_with_oracle
 
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], empty_dir)
+
+
+def test_ks_drift_null_length_cross_engine(spark, tmp_path_factory):
+    """ks_feature_drift must agree across engines when n_chars contains
+    NULL: Spark's Window.orderBy sorts NULLS FIRST, DuckDB's OVER
+    (ORDER BY x) NULLS LAST, so an unfiltered NULL row shifts every
+    cumulative ECDF count on one engine only (reproduced in the wave-11
+    review: ks_d 0.081081 vs 0.086486). Both sides now drop NULL
+    lengths before the ECDF; this corpus pins that."""
+    from .conftest import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("ks_null_len")
+    schemas = _schemas()
+    n = 40
+    docs = {
+        "doc_id": list(range(n)),
+        "text": ["w"] * n,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        # varied lengths plus one NULL — the divergence trigger
+        "n_chars": [None if i == 7 else (i % 5) * 10 for i in range(n)],
+    }
+    for t, schema in schemas.items():
+        if t == "documents":
+            tbl = pa.table(docs, schema=schema)
+        else:
+            tbl = schema.empty_table()
+        pq.write_table(tbl, os.path.join(str(d), f"{t}.parquet"))
+
+    name = "ks_feature_drift"
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(d))
