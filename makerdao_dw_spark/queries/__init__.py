@@ -8,6 +8,7 @@ from .registry import REGISTRY, oracles_dict, queries_dict, query  # noqa: F401
 from . import (  # noqa: E402,F401
     advanced,
     assets_per_type,
+    compliance,
     dedup,
     flagship,
     graph,

@@ -725,3 +725,22 @@ def test_pq_adc_plan_shape(spark):
     assert "SortMergeJoin" not in p, p[:2000]
     assert "EvalPython" not in p, p[:2000]
     assert not _heavy_pushed_filters(df)
+
+
+def test_wave13_plan_hygiene(spark):
+    """Compliance wave: k_anonymity_audit is two chained integer
+    aggregations over ONE scan; dp_noised_histogram is one scan +
+    map-side noise; benford_first_digit checkpoints its <= 9-row digit
+    table (one live orders scan absorbed into the LogicalRDD) and the
+    totalprice > 0 predicate must push to the scan."""
+    for name, max_scans in (
+        ("k_anonymity_audit", 1),
+        ("dp_noised_histogram", 1),
+    ):
+        df = run(spark, name)
+        o = df._jdf.queryExecution().optimizedPlan().toString()
+        assert o.lower().count("parquet") <= max_scans, (name, o[:3000])
+
+    df = run(spark, "benford_first_digit")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
