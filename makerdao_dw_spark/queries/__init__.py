@@ -10,6 +10,7 @@ from . import (  # noqa: E402,F401
     assets_per_type,
     compliance,
     dedup,
+    evaluation,
     flagship,
     graph,
     incremental,

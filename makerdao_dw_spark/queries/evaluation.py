@@ -1,0 +1,149 @@
+"""Retrieval-quality evaluation, wave 14 (round 6): ranking metrics as
+distributed queries — the dashboard a search/RAG platform computes over
+its own indexes. Ground truth here is the exact cosine ranking (the
+same brute-force formulation as `ann_bruteforce_topk`); the evaluated
+"system" is the label-bucketed IVF stand-in (`ann_ivf_bucketed`'s
+candidate rule), so the metric quantifies exactly what that index
+trades away. Evaluation is inherently a probe-sample job: the exact
+ranking costs O(probes x N) by definition, which is why production
+evals run on a sample — the probe set is the same deterministic
+vec_id % 25 draw the index queries use.
+
+Determinism: relevance labels and ranks are integers from unique total
+orders; DCG terms are per-term DECIMAL(38,12)-cast before the sum; the
+ideal DCG is a shared literal expression string evaluated by both
+engines; MRR's reciprocal comes from an integer MIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from .registry import query
+from .similarity import _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
+
+_EVAL_K = 5
+_PROBE_MOD = 25
+
+# ideal DCG@5 when all top-5 slots hold a relevant item — ONE literal
+# expression string, evaluated by Spark SQL and DuckDB alike so the
+# normalizer is bit-identical (left-assoc adds, like every house fold).
+_IDCG_SQL = (
+    "((((1.0 / LOG2(2.0) + 1.0 / LOG2(3.0)) + 1.0 / LOG2(4.0))"
+    " + 1.0 / LOG2(5.0)) + 1.0 / LOG2(6.0))"
+)
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+WITH nz AS (
+    SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
+),
+q AS (SELECT * FROM nz WHERE vec_id % {_PROBE_MOD} = 0),
+pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS q_label,
+           c.vec_id AS cand_id, c.label AS c_label,
+           {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+    FROM q q JOIN nz c ON q.vec_id <> c.vec_id
+),
+judged AS (
+    SELECT *,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, cand_id) <= {_EVAL_K}
+                THEN 1 ELSE 0 END AS rel
+    FROM pairs
+),
+sys AS (
+    SELECT query_id, q_label, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS sys_rk
+    FROM judged WHERE q_label = c_label
+)
+SELECT query_id,
+       MAX(q_label) AS label,
+       CAST(SUM(rel) AS BIGINT) AS n_rel_in_top5,
+       ROUND(CAST(SUM(CAST(rel / LOG2(CAST(sys_rk + 1 AS DOUBLE))
+                           AS DECIMAL(38,12))) AS DOUBLE) / {_IDCG_SQL}, 6)
+           AS ndcg5,
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN sys_rk END), 0.0), 6)
+           AS mrr
+FROM sys WHERE sys_rk <= {_EVAL_K}
+GROUP BY query_id ORDER BY query_id
+""",
+    tags=("evaluation", "retrieval", "ndcg", "similarity"),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 and MRR of the label-bucketed IVF stand-in against the
+    exact cosine ranking, per probe: relevance = membership in the
+    exact top-5 (the ann_bruteforce_topk formulation), system ranking
+    = cosine order restricted to the probe's bucket. One broadcast
+    probe join builds the pair table; both rankings are windows over
+    it; the probe sample bounds the O(probes x N) exact side — the
+    inherent cost of ground truth, which is exactly why this is a
+    sampled eval job at any scale."""
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    nz = e.filter(F.expr(f"{_dot_expr('embedding', 'embedding')} > 0"))
+    q = F.broadcast(
+        nz.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    c = nz.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = q.join(c, F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "q_label",
+        "cand_id",
+        "c_label",
+        F.expr(_cos_spark("qe", "ce")).alias("cosine"),
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    judged = pairs.withColumn(
+        "rel",
+        F.when(F.row_number().over(w_exact) <= _EVAL_K, 1).otherwise(0),
+    )
+    sys = judged.filter(F.col("q_label") == F.col("c_label")).withColumn(
+        "sys_rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), "cand_id"
+            )
+        ),
+    )
+    return (
+        sys.filter(F.col("sys_rk") <= _EVAL_K)
+        .groupBy("query_id")
+        .agg(
+            F.max("q_label").alias("label"),
+            F.sum("rel").alias("n_rel_in_top5"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "cast(rel / log2(cast(sys_rk + 1 as double))"
+                        " as decimal(38,12))"
+                    )
+                ).cast("double")
+                / F.expr(_IDCG_SQL),
+                6,
+            ).alias("ndcg5"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("rel") == 1, F.col("sys_rk"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )

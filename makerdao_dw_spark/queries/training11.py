@@ -266,3 +266,93 @@ def ks_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("d"), 6).alias("ks_d"),
         F.min(F.when(F.col("d") == F.col("maxd"), F.col("x"))).alias("x_at_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) user feature table
+# --------------------------------------------------------------------------
+@query(
+    "session_rfm_features",
+    oracle="""
+WITH peruser AS (
+    SELECT user_id,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS frequency,
+           SUM(CAST(value AS DECIMAL(38,6))) AS monetary_d
+    FROM events GROUP BY user_id
+),
+anchor AS (SELECT MAX(last_ts) AS gmax FROM peruser),
+base AS (
+    SELECT user_id,
+           CAST(anchor.gmax AS DATE) - CAST(last_ts AS DATE) AS recency_days,
+           frequency,
+           CAST(monetary_d AS DOUBLE) AS monetary
+    FROM peruser, anchor
+)
+SELECT user_id, recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       ROUND(monetary, 6) AS monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM base
+) ORDER BY user_id
+""",
+    tags=("training-data", "features", "rfm"),
+)
+def session_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic RFM feature table: per user, days since last event
+    (anchored to the corpus max so the feature is reproducible, not
+    wall-clock), event count, and exact-decimal value sum — each
+    NTILE(5)-scored over a unique (metric, user_id) total order and
+    packed into the 3-digit RFM code. One shuffle builds the per-user
+    rollup; the quantile windows run over the user-cardinality table;
+    the recency anchor is a broadcast 1-row aggregate derived from the
+    SAME rollup (checkpointed once — two consumers)."""
+    ev = _t(spark, sf_dir, "events")
+    peruser = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("monetary_d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    anchor = F.broadcast(peruser.agg(F.max("last_ts").alias("gmax")))
+    base = peruser.crossJoin(anchor).select(
+        "user_id",
+        F.datediff(F.to_date("gmax"), F.to_date("last_ts")).alias("recency_days"),
+        "frequency",
+        F.col("monetary_d").cast("double").alias("monetary"),
+    )
+    scored = (
+        base.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "user_id")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id")),
+        )
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_code"),
+    ).orderBy("user_id")

@@ -744,3 +744,20 @@ def test_wave13_plan_hygiene(spark):
     df = run(spark, "benford_first_digit")
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+
+
+def test_wave14_plan_hygiene(spark):
+    """retrieval_eval_ndcg: probe side broadcasts onto the candidate
+    scan (never a shuffle join for a probe sample); the cosine folds
+    stay JVM-side. session_rfm_features: the per-user rollup is
+    checkpointed (broadcast anchor + quantile windows both consume it)
+    — the consuming plan reads the LogicalRDD, no second events scan."""
+    df = run(spark, "retrieval_eval_ndcg")
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
+
+    df = run(spark, "session_rfm_features")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
