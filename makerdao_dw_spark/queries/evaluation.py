@@ -26,6 +26,12 @@ from .similarity import _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
 
 _EVAL_K = 5
 _PROBE_MOD = 25
+# fixed probe-panel size: the eval cost is O(panel x N) BY DESIGN (the
+# exact ground truth), so the panel must NOT grow with the corpus — an
+# uncapped % draw made the pair table O(N^2/25) (9.4x wall at 10x data,
+# BENCH_r6_wave14). Smallest-id cap = deterministic TakeOrdered, and a
+# no-op at sf0.01 (20 probes < 200).
+_PROBE_CAP = 200
 
 # ideal DCG@5 when all top-5 slots hold a relevant item — ONE literal
 # expression string, evaluated by Spark SQL and DuckDB alike so the
@@ -42,7 +48,8 @@ _IDCG_SQL = (
 WITH nz AS (
     SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
 ),
-q AS (SELECT * FROM nz WHERE vec_id % {_PROBE_MOD} = 0),
+q AS (SELECT * FROM nz WHERE vec_id % {_PROBE_MOD} = 0
+      ORDER BY vec_id LIMIT {_PROBE_CAP}),
 pairs AS (
     SELECT q.vec_id AS query_id, q.label AS q_label,
            c.vec_id AS cand_id, c.label AS c_label,
@@ -87,7 +94,10 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     nz = e.filter(F.expr(f"{_dot_expr('embedding', 'embedding')} > 0"))
     q = F.broadcast(
-        nz.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        nz.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_PROBE_CAP)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),
             F.col("embedding").alias("qe"),
