@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure, load_table
+from ..session import query_table
 from .registry import query
 from .similarity import _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
 
@@ -68,17 +68,26 @@ sys AS (
            ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, cand_id) AS sys_rk
     FROM judged WHERE q_label = c_label
+),
+scored AS (
+    SELECT query_id,
+           CAST(SUM(CASE WHEN sys_rk <= {_EVAL_K} THEN rel ELSE 0 END)
+               AS BIGINT) AS n_rel_in_top5,
+           ROUND(CAST(SUM(CAST(CASE WHEN sys_rk <= {_EVAL_K}
+                     THEN rel / LOG2(CAST(sys_rk + 1 AS DOUBLE))
+                     ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                 / {_IDCG_SQL}, 6) AS ndcg5,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN sys_rk END), 0.0), 6)
+               AS mrr
+    FROM sys GROUP BY query_id
 )
-SELECT query_id,
-       MAX(q_label) AS label,
-       CAST(SUM(rel) AS BIGINT) AS n_rel_in_top5,
-       ROUND(CAST(SUM(CAST(rel / LOG2(CAST(sys_rk + 1 AS DOUBLE))
-                           AS DECIMAL(38,12))) AS DOUBLE) / {_IDCG_SQL}, 6)
-           AS ndcg5,
-       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN sys_rk END), 0.0), 6)
-           AS mrr
-FROM sys WHERE sys_rk <= {_EVAL_K}
-GROUP BY query_id ORDER BY query_id
+SELECT p.vec_id AS query_id,
+       p.label AS label,
+       COALESCE(s.n_rel_in_top5, 0) AS n_rel_in_top5,
+       COALESCE(s.ndcg5, 0.0) AS ndcg5,
+       COALESCE(s.mrr, 0.0) AS mrr
+FROM q p LEFT JOIN scored s ON p.vec_id = s.query_id
+ORDER BY p.vec_id
 """,
     tags=("evaluation", "retrieval", "ndcg", "similarity"),
 )
@@ -86,14 +95,19 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@5 and MRR of the label-bucketed IVF stand-in against the
     exact cosine ranking, per probe: relevance = membership in the
     exact top-5 (the ann_bruteforce_topk formulation), system ranking
-    = cosine order restricted to the probe's bucket. One broadcast
-    probe join builds the pair table; both rankings are windows over
-    it; the probe sample bounds the O(probes x N) exact side — the
-    inherent cost of ground truth, which is exactly why this is a
-    sampled eval job at any scale."""
-    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    = cosine order restricted to the probe's bucket. MRR is the TRUE
+    reciprocal rank (MIN over the whole bucket ranking, not truncated
+    at 5); a probe whose bucket retrieves nothing still appears with
+    ndcg5 = mrr = 0 — the eval must not hide its worst cases. One
+    broadcast probe join builds the pair table; both rankings are
+    windows over it; the fixed probe panel bounds the O(panel x N)
+    exact side — the inherent cost of ground truth, which is why this
+    is a sampled eval job at any scale."""
+    e = query_table(spark, sf_dir, "embeddings", spread=True)
     nz = e.filter(F.expr(f"{_dot_expr('embedding', 'embedding')} > 0"))
-    q = F.broadcast(
+    # the 200-row probe panel has two consumers (pair build + the
+    # keep-every-probe left join) — checkpoint once
+    panel = (
         nz.filter(F.col("vec_id") % _PROBE_MOD == 0)
         .orderBy("vec_id")
         .limit(_PROBE_CAP)
@@ -102,7 +116,9 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("q_label"),
             F.col("embedding").alias("qe"),
         )
+        .localCheckpoint(eager=True)
     )
+    q = F.broadcast(panel)
     c = nz.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("c_label"),
@@ -130,30 +146,38 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    scored = sys.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("sys_rk") <= _EVAL_K, F.col("rel")).otherwise(0)
+        ).alias("n_rel_in_top5"),
+        F.round(
+            F.sum(
+                F.expr(
+                    f"cast(case when sys_rk <= {_EVAL_K}"
+                    " then rel / log2(cast(sys_rk + 1 as double))"
+                    " else 0.0 end as decimal(38,12))"
+                )
+            ).cast("double")
+            / F.expr(_IDCG_SQL),
+            6,
+        ).alias("ndcg5"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("sys_rk"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+    )
     return (
-        sys.filter(F.col("sys_rk") <= _EVAL_K)
-        .groupBy("query_id")
-        .agg(
-            F.max("q_label").alias("label"),
-            F.sum("rel").alias("n_rel_in_top5"),
-            F.round(
-                F.sum(
-                    F.expr(
-                        "cast(rel / log2(cast(sys_rk + 1 as double))"
-                        " as decimal(38,12))"
-                    )
-                ).cast("double")
-                / F.expr(_IDCG_SQL),
-                6,
-            ).alias("ndcg5"),
-            F.round(
-                F.coalesce(
-                    F.lit(1.0)
-                    / F.min(F.when(F.col("rel") == 1, F.col("sys_rk"))),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("mrr"),
+        panel.select("query_id", F.col("q_label").alias("label"))
+        .join(F.broadcast(scored), "query_id", "left")
+        .select(
+            "query_id",
+            "label",
+            F.coalesce("n_rel_in_top5", F.lit(0)).alias("n_rel_in_top5"),
+            F.coalesce("ndcg5", F.lit(0.0)).alias("ndcg5"),
+            F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
         )
         .orderBy("query_id")
     )

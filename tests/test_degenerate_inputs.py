@@ -230,3 +230,35 @@ def test_ks_drift_null_length_cross_engine(spark, tmp_path_factory):
 
     name = "ks_feature_drift"
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(d))
+
+
+def test_rfm_null_recency_cross_engine(spark, tmp_path_factory):
+    """session_rfm_features must agree across engines when a user's
+    MAX(ts) is NULL (all events untimestamped -> NULL recency): NTILE
+    ordering NULLs defaults differ (Spark ASC = NULLS FIRST, DuckDB =
+    NULLS LAST), which shifted every user's r_score on one engine only
+    (wave-14 review repro: rfm_code 213 vs 113). Both sides now pin
+    NULLS LAST; this corpus keeps it that way."""
+    import datetime
+
+    from .conftest import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("rfm_null_ts")
+    schemas = _schemas()
+    t0 = datetime.datetime(2024, 1, 1)
+    events = {
+        "event_id": [1, 2, 3, 4],
+        "ts": [t0, None, t0 + datetime.timedelta(days=3), None],
+        "user_id": [1, 2, 3, 2],  # user 2: all-NULL ts -> NULL recency
+        "event_type": ["a"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": ["{}"] * 4,
+    }
+    for t, schema in schemas.items():
+        tbl = (
+            pa.table(events, schema=schema) if t == "events" else schema.empty_table()
+        )
+        pq.write_table(tbl, os.path.join(str(d), f"{t}.parquet"))
+
+    name = "session_rfm_features"
+    compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(d))
