@@ -731,8 +731,8 @@ def test_wave13_plan_hygiene(spark):
     """Compliance wave: k_anonymity_audit is two chained integer
     aggregations over ONE scan; dp_noised_histogram is one scan +
     map-side noise; benford_first_digit checkpoints its <= 9-row digit
-    table (one live orders scan absorbed into the LogicalRDD) and the
-    totalprice > 0 predicate must push to the scan."""
+    table (the single live orders scan is absorbed into the
+    LogicalRDD, so scan-level assertions end there)."""
     for name, max_scans in (
         ("k_anonymity_audit", 1),
         ("dp_noised_histogram", 1),
@@ -761,3 +761,28 @@ def test_wave14_plan_hygiene(spark):
     df = run(spark, "session_rfm_features")
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+
+
+def test_wave15_plan_hygiene(spark):
+    """Experiments wave: kaplan_meier_churn checkpoints its per-user
+    span rollup (broadcast censor anchor + the curve windows both
+    consume it) — the consuming plan reads only the LogicalRDD;
+    ab_conversion_ztest is one events scan chained into two
+    aggregations; market_basket_lift's pair self-join must hash-join on
+    the order key with the basket table checkpointed once (no parquet
+    re-scan per join side) and the basket total must broadcast."""
+    df = run(spark, "kaplan_meier_churn")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+    df = run(spark, "ab_conversion_ztest")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+
+    df = run(spark, "market_basket_lift")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
