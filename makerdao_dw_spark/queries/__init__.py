@@ -11,6 +11,7 @@ from . import (  # noqa: E402,F401
     compliance,
     dedup,
     evaluation,
+    evaluation2,
     experiments,
     flagship,
     graph,

@@ -254,10 +254,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _KNN_K = 5
 
-
-@query(
-    "knn_label_classifier",
-    oracle=f"""
+# The full KNN prediction pipeline as a reusable CTE prefix: downstream
+# evaluation queries (classifier_eval_f1, queries/evaluation2.py) chain
+# onto `knn_pred` so classifier and evaluator provably score the SAME
+# predictions (the shared-_KM_PREFIX pattern from similarity.py).
+KNN_PRED_CTES = f"""
 WITH nz AS (
     SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
 ), q AS (
@@ -281,31 +282,21 @@ WITH nz AS (
 ), votes AS (
     SELECT query_id, true_label, nlabel, COUNT(*) AS n_votes
     FROM top GROUP BY query_id, true_label, nlabel
-)
-SELECT query_id, true_label, nlabel AS pred_label, n_votes,
-       nlabel = true_label AS correct
-FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY n_votes DESC, nlabel) AS vrk
-    FROM votes
-) WHERE vrk = 1
-ORDER BY query_id
-""",
-    tags=("training", "similarity", "knn", "classifier"),
-)
-def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KNN label prediction: for each probe vector (vec_id % 25 = 0),
-    majority vote of its 5 cosine-nearest TRAIN vectors (the disjoint
-    rest of the corpus); ties break to the smaller label. Emits the
-    per-probe prediction and correctness — the embedding-seed-set
-    quality classifier of a curation pipeline, evaluated in-engine.
+), knn_pred AS (
+    SELECT query_id, true_label, nlabel AS pred_label, n_votes,
+           nlabel = true_label AS correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, nlabel) AS vrk
+        FROM votes
+    ) WHERE vrk = 1
+)"""
 
-    Shapes at 100 TB: probes are the small labeled side and broadcast
-    (never shuffle the corpus by probe); scoring is map-only over the
-    corpus, top-k is a per-probe aggregation of k rows, and the vote
-    rollup is O(probes * k). Swap the scored CTE for any registered ANN
-    shortlist (IVF/SRP) to trade exactness for a bucketed probe —
-    output contract unchanged."""
+
+def knn_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-probe KNN predictions (query_id, true_label,
+    pred_label, n_votes, correct) — the Spark twin of the `knn_pred`
+    CTE above; shared by the classifier query and its evaluator."""
     e = _t(spark, sf_dir, "embeddings", spread=True)
     nz = e.withColumn(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
@@ -351,5 +342,25 @@ def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
             (F.col("nlabel") == F.col("true_label")).alias("correct"),
         )
-        .orderBy("query_id")
     )
+
+
+@query(
+    "knn_label_classifier",
+    oracle=KNN_PRED_CTES + "\nSELECT * FROM knn_pred ORDER BY query_id",
+    tags=("training", "similarity", "knn", "classifier"),
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN label prediction: for each probe vector (vec_id % 25 = 0),
+    majority vote of its 5 cosine-nearest TRAIN vectors (the disjoint
+    rest of the corpus); ties break to the smaller label. Emits the
+    per-probe prediction and correctness — the embedding-seed-set
+    quality classifier of a curation pipeline, evaluated in-engine.
+
+    Shapes at 100 TB: probes are the small labeled side and broadcast
+    (never shuffle the corpus by probe); scoring is map-only over the
+    corpus, top-k is a per-probe aggregation of k rows, and the vote
+    rollup is O(probes * k). Swap the scored CTE for any registered ANN
+    shortlist (IVF/SRP) to trade exactness for a bucketed probe —
+    output contract unchanged."""
+    return knn_predictions(spark, sf_dir).orderBy("query_id")

@@ -786,3 +786,35 @@ def test_wave15_plan_hygiene(spark):
     p = plan_str(df)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:2000]
     assert "EvalPython" not in p, p[:2000]
+
+
+def test_wave16_plan_hygiene(spark):
+    """Evaluation wave: classifier_eval_f1 checkpoints the probe-sized
+    prediction table (two confusion rollups consume it) — the
+    consuming plan reads only the LogicalRDD; cohens_kappa_labelers
+    checkpoints its <= 9-row cell table (total/agree/marginal
+    consumers, one live documents scan absorbed into the LogicalRDD)
+    and must not push its word-count lambda into a scan Filter;
+    rrf_fusion_ranking broadcasts the probe panel onto ONE candidate
+    scan — both rank signals are windows over the same pair table, so
+    no second embeddings scan and no sort-merge join."""
+    df = run(spark, "classifier_eval_f1")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+
+    df = run(spark, "cohens_kappa_labelers")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    assert not _heavy_pushed_filters(df)
+
+    df = run(spark, "rrf_fusion_ranking")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
+    # NOTE: the zero-norm guard (dot(embedding, embedding) > 0) IS a
+    # lambda Filter at the candidate scan — the documented
+    # cheap-per-row exception shared with the ann_* queries (NOTES
+    # round-6 hazard audit), so no _heavy_pushed_filters assert here.
