@@ -13,6 +13,7 @@ from . import (  # noqa: E402,F401
     evaluation,
     evaluation2,
     experiments,
+    experiments2,
     flagship,
     graph,
     incremental,

@@ -818,3 +818,18 @@ def test_wave16_plan_hygiene(spark):
     # lambda Filter at the candidate scan — the documented
     # cheap-per-row exception shared with the ann_* queries (NOTES
     # round-6 hazard audit), so no _heavy_pushed_filters assert here.
+
+
+def test_wave17_plan_hygiene(spark):
+    """Experiments wave 2: bootstrap_blb_ci fans out B replicates
+    map-side (explode of a literal sequence — no join, no second
+    scan) and shuffles only on (subsample, replicate);
+    ab_uplift_by_segment and ab_srm_check are one events scan chained
+    into rollups. All three read parquet exactly once."""
+    for name in ("bootstrap_blb_ci", "ab_uplift_by_segment", "ab_srm_check"):
+        df = run(spark, name)
+        o = df._jdf.queryExecution().optimizedPlan().toString()
+        assert o.lower().count("parquet") == 1, (name, o[:3000])
+        assert not _heavy_pushed_filters(df), name
+    p = plan_str(run(spark, "bootstrap_blb_ci"))
+    assert "Join" not in p, p[:2000]
