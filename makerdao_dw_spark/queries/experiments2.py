@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import query_table
+from .experiments import _ARM_DUCK, _ARM_SPARK
 from .registry import query
 
 _t = query_table
@@ -48,8 +49,7 @@ _t = query_table
 # ---------------------------------------------------------------------------
 _BLB_S = 4  # subsamples
 _BLB_B = 40  # bootstrap replicates per subsample
-_BLB_LO_RK = 2  # ~2.5% rank of 40
-_BLB_HI_RK = 39  # ~97.5% rank of 40
+_BLB_LO_RK = 2  # ~2.5% rank of 40 (clamped to the surviving count)
 _U_DENOM = 1 << 20
 
 # Poisson(1) CDF breakpoints (cumulative e^-1 / k! sums) for the
@@ -113,16 +113,18 @@ means AS (
     FROM rep GROUP BY s, b
 ),
 ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY s
-        ORDER BY m NULLS LAST, b) AS rk
-    FROM means
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s ORDER BY m, b) AS rk,
+           COUNT(*) OVER (PARTITION BY s) AS cnt
+    FROM means WHERE m IS NOT NULL
 )
 SELECT s AS subsample,
        CAST(COUNT(*) AS BIGINT) AS n_reps,
        ROUND(CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
            AS mean_boot,
-       ROUND(MIN(CASE WHEN rk = {_BLB_LO_RK} THEN m END), 6) AS ci_lo,
-       ROUND(MIN(CASE WHEN rk = {_BLB_HI_RK} THEN m END), 6) AS ci_hi
+       ROUND(MIN(CASE WHEN rk = LEAST({_BLB_LO_RK}, cnt) THEN m END), 6)
+           AS ci_lo,
+       ROUND(MIN(CASE WHEN rk = GREATEST(cnt - 1, 1) THEN m END), 6)
+           AS ci_hi
 FROM ranked GROUP BY s ORDER BY s
 """,
     tags=("experiments", "bootstrap", "blb", "statistics"),
@@ -134,8 +136,9 @@ def bootstrap_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-anchored uniform (deterministic — the full resampling
     procedure is value-oracled). Replicate means aggregate
     SUM(DECIMAL(38,6) w*x) / SUM(w) — exact numerator, one double
-    division; the CI is the (2, {_BLB_HI_RK}) rank pair of the B
-    replicate means per subsample. Data motion: the B-fold fan-out is
+    division; the CI is the (2, n-1) rank pair of the surviving
+    (non-degenerate) replicate means per subsample — (2, 39) at the
+    full B. Data motion: the B-fold fan-out is
     map-side (explode of a literal sequence), the only shuffle keys on
     (subsample, replicate), and every window runs over s*B rows. At
     100 TB production BLB draws n^0.6-sized subsamples instead of
@@ -159,14 +162,16 @@ def bootstrap_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         F.sum("w").alias("n_weight"),
     )
-    # NULLS LAST pinned on BOTH engines (the session_rfm lesson): a
-    # zero-total-weight replicate (possible on tiny corpora) has a
-    # NULL mean, and the engines' default NULL sort order differs.
-    ranked = means.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("s").orderBy(F.col("m").asc_nulls_last(), "b")
-        ),
+    # Zero-total-weight replicates (possible on tiny subsamples) have
+    # a NULL mean: they are DEGENERATE draws, excluded from both the
+    # bootstrap average and the rank quantiles — n_reps reports the
+    # surviving count and the quantile ranks clamp to it, so a thin
+    # subsample still emits a CI from what exists (review, wave 17).
+    ws = Window.partitionBy("s")
+    ranked = (
+        means.filter(F.col("m").isNotNull())
+        .withColumn("rk", F.row_number().over(ws.orderBy("m", "b")))
+        .withColumn("cnt", F.count(F.lit(1)).over(ws))
     )
     return (
         ranked.groupBy(F.col("s").alias("subsample"))
@@ -178,10 +183,23 @@ def bootstrap_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_boot"),
             F.round(
-                F.min(F.when(F.col("rk") == _BLB_LO_RK, F.col("m"))), 6
+                F.min(
+                    F.when(
+                        F.col("rk") == F.least(F.lit(_BLB_LO_RK), F.col("cnt")),
+                        F.col("m"),
+                    )
+                ),
+                6,
             ).alias("ci_lo"),
             F.round(
-                F.min(F.when(F.col("rk") == _BLB_HI_RK, F.col("m"))), 6
+                F.min(
+                    F.when(
+                        F.col("rk")
+                        == F.greatest(F.col("cnt") - 1, F.lit(1)),
+                        F.col("m"),
+                    )
+                ),
+                6,
             ).alias("ci_hi"),
         )
         .orderBy("subsample")
@@ -189,13 +207,11 @@ def bootstrap_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Per-segment uplift readout of the deterministic A/B split
+# Per-segment uplift readout of the deterministic A/B split.
+# _ARM_SPARK/_ARM_DUCK are IMPORTED from experiments.py — the uplift,
+# SRM, and topline z-test queries must describe ONE experiment, so the
+# anchor has exactly one definition.
 # ---------------------------------------------------------------------------
-_ARM_SPARK = (
-    "cast(conv(substr(md5(concat('ab:', cast(user_id as string))), 1, 8),"
-    " 16, 10) as bigint) % 2"
-)
-_ARM_DUCK = "CAST('0x' || substr(md5('ab:' || user_id), 1, 8) AS BIGINT) % 2"
 _SEG_N = 4
 
 
@@ -210,7 +226,8 @@ WITH assigned AS (
     FROM events GROUP BY user_id
 ),
 seg AS (
-    SELECT *, NTILE({_SEG_N}) OVER (ORDER BY n_events, user_id) AS segment
+    SELECT *, NTILE({_SEG_N}) OVER (ORDER BY n_events,
+                                    user_id NULLS LAST) AS segment
     FROM assigned
 ),
 agg AS (
@@ -259,9 +276,14 @@ def ab_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # user_id tie-break pinned NULLS LAST on both engines: a NULL
+    # user_id group tying on n_events would otherwise shift every
+    # segment on one engine only (review, wave 17)
     seg = assigned.withColumn(
         "segment",
-        F.ntile(_SEG_N).over(Window.orderBy("n_events", "user_id")),
+        F.ntile(_SEG_N).over(
+            Window.orderBy("n_events", F.col("user_id").asc_nulls_last())
+        ),
     )
     agg = seg.groupBy("segment").agg(
         F.coalesce(F.sum(F.when(F.col("arm") == 0, 1)), F.lit(0)).alias("n_a"),

@@ -296,9 +296,12 @@ SELECT user_id, recency_days,
        r_score * 100 + f_score * 10 + m_score AS rfm_code
 FROM (
     SELECT *,
-           NTILE(5) OVER (ORDER BY recency_days ASC NULLS LAST, user_id) AS r_score,
-           NTILE(5) OVER (ORDER BY frequency DESC NULLS LAST, user_id) AS f_score,
-           NTILE(5) OVER (ORDER BY monetary DESC NULLS LAST, user_id) AS m_score
+           NTILE(5) OVER (ORDER BY recency_days ASC NULLS LAST,
+                          user_id NULLS LAST) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC NULLS LAST,
+                          user_id NULLS LAST) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC NULLS LAST,
+                          user_id NULLS LAST) AS m_score
     FROM base
 ) ORDER BY user_id
 """,
@@ -333,24 +336,35 @@ def session_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         base.withColumn(
             "r_score",
-            # NULLS LAST pinned on BOTH engines: Spark ASC defaults
-            # NULLS FIRST, DuckDB NULLS LAST — an all-NULL-ts user
-            # would otherwise shift every tile on one engine only
-            # (the ks_feature_drift divergence class; review, wave 14)
+            # NULLS LAST pinned on BOTH engines AND BOTH columns: Spark
+            # ASC defaults NULLS FIRST, DuckDB NULLS LAST — an
+            # all-NULL-ts user (metric NULL) or a NULL user_id row
+            # (tie-break NULL) would otherwise shift every tile on one
+            # engine only (the ks_feature_drift divergence class;
+            # review waves 14 + 17)
             F.ntile(5).over(
-                Window.orderBy(F.col("recency_days").asc_nulls_last(), "user_id")
+                Window.orderBy(
+                    F.col("recency_days").asc_nulls_last(),
+                    F.col("user_id").asc_nulls_last(),
+                )
             ),
         )
         .withColumn(
             "f_score",
             F.ntile(5).over(
-                Window.orderBy(F.col("frequency").desc_nulls_last(), "user_id")
+                Window.orderBy(
+                    F.col("frequency").desc_nulls_last(),
+                    F.col("user_id").asc_nulls_last(),
+                )
             ),
         )
         .withColumn(
             "m_score",
             F.ntile(5).over(
-                Window.orderBy(F.col("monetary").desc_nulls_last(), "user_id")
+                Window.orderBy(
+                    F.col("monetary").desc_nulls_last(),
+                    F.col("user_id").asc_nulls_last(),
+                )
             ),
         )
     )

@@ -262,3 +262,76 @@ def test_rfm_null_recency_cross_engine(spark, tmp_path_factory):
 
     name = "session_rfm_features"
     compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(d))
+
+
+def test_ntile_null_user_id_cross_engine(spark, tmp_path_factory):
+    """NTILE tie-break columns must be NULL-pinned too: a NULL user_id
+    group tying with real users on the ordered metric shifted every
+    tile on one engine only (Spark ASC = NULLS FIRST vs DuckDB NULLS
+    LAST on the TIE-BREAK column — the wave-17 review repro, the same
+    class as the wave-14 metric-column fix). Eight 1-event users (all
+    tie on n_events/frequency) including one NULL user_id."""
+    import datetime
+
+    from .conftest import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("null_uid")
+    schemas = _schemas()
+    t0 = datetime.datetime(2024, 1, 1)
+    events = {
+        "event_id": list(range(1, 9)),
+        "ts": [t0 + datetime.timedelta(days=i) for i in range(8)],
+        "user_id": [1, 2, 3, None, 4, 5, 6, 7],
+        "event_type": ["purchase", "view"] * 4,
+        "value": [1.0] * 8,
+        "props": ["{}"] * 8,
+    }
+    for t, schema in schemas.items():
+        tbl = (
+            pa.table(events, schema=schema) if t == "events" else schema.empty_table()
+        )
+        pq.write_table(tbl, os.path.join(str(d), f"{t}.parquet"))
+
+    from makerdao_dw_spark.queries import oracles_dict
+
+    ORC = oracles_dict()
+    for name in ("session_rfm_features", "ab_uplift_by_segment"):
+        compare_with_oracle(spark, name, QUERIES[name], ORC[name], str(d))
+
+
+def test_blb_degenerate_replicates_excluded(spark, tmp_path_factory):
+    """bootstrap_blb_ci on a 1-order corpus: replicates drawing
+    all-zero Poisson weights are degenerate and must NOT bias the
+    bootstrap mean toward zero or leave ci_hi NULL (wave-17 review:
+    mean_boot divided the non-NULL sum by ALL B replicates). Every
+    surviving replicate's mean is the single order's price, so all
+    three emitted statistics must equal it exactly."""
+    import datetime
+
+    from .conftest import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("blb_one_order")
+    schemas = _schemas()
+    orders = {
+        "o_orderkey": [7],
+        "o_custkey": [1],
+        "o_orderstatus": ["F"],
+        "o_totalprice": [144449.04],
+        "o_orderdate": [datetime.datetime(2024, 1, 1)],
+        "o_orderpriority": ["1-URGENT"],
+    }
+    for t, schema in schemas.items():
+        tbl = (
+            pa.table(orders, schema=schema) if t == "orders" else schema.empty_table()
+        )
+        pq.write_table(tbl, os.path.join(str(d), f"{t}.parquet"))
+
+    name = "bootstrap_blb_ci"
+    from makerdao_dw_spark.queries import oracles_dict
+
+    compare_with_oracle(spark, name, QUERIES[name], oracles_dict()[name], str(d))
+    rows = QUERIES[name](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert 0 < r["n_reps"] <= 40
+    assert r["mean_boot"] == r["ci_lo"] == r["ci_hi"] == 144449.04
