@@ -97,6 +97,8 @@ def decode_media(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if payload is None:
+                    continue  # missing blob: nothing to decode
                 media_type = meta["media_type"]
                 try:
                     d = _stub_decode(bytes(payload), media_type)
@@ -142,8 +144,8 @@ def sample_frames(df: DataFrame, k: int = 8) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                if meta["media_type"] != "video/mp4":
-                    continue
+                if payload is None or meta["media_type"] != "video/mp4":
+                    continue  # missing blob or not a video
                 raw = bytes(payload)
                 n_frames = len(raw) % 300
                 if n_frames <= 0:

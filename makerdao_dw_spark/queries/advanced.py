@@ -559,12 +559,15 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cogroup_order_event_stats",
     oracle="""
 WITH eo AS (
+    -- NULL entity keys are excluded on BOTH engines: per-entity stats
+    -- are undefined without an entity (and pandas groupby would drop
+    -- the NaN key silently while SQL's FULL JOIN keeps two NULL rows)
     SELECT user_id AS k, COUNT(*) AS n_events, MIN(ts) AS first_event_ts
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), oo AS (
     SELECT o_custkey AS k, COUNT(*) AS n_orders,
            MIN(o_orderdate) AS first_order_ts
-    FROM orders GROUP BY o_custkey
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ), pre AS (
     SELECT e.user_id AS k, COUNT(*) AS n_events_before_first_order
     FROM events e JOIN oo ON e.user_id = oo.k
@@ -612,12 +615,14 @@ def cogroup_order_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n_buckets = 256
-    e = _t(spark, sf_dir, "events").select(
+    # NULL entity keys excluded (matches the oracle's declared domain;
+    # pandas groupby would silently drop the NaN key anyway)
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select(
         F.col("user_id").alias("k"),
         "ts",
         F.pmod(F.hash(F.col("user_id")), F.lit(n_buckets)).alias("b"),
     )
-    o = _t(spark, sf_dir, "orders").select(
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull()).select(
         F.col("o_custkey").alias("k"),
         "o_orderdate",
         F.pmod(F.hash(F.col("o_custkey")), F.lit(n_buckets)).alias("b"),

@@ -79,9 +79,11 @@ _CSV_ORACLE = """
 WITH lines AS (
   SELECT concat(event_id, ',', event_type, ',', user_id) AS line FROM events
 ), parsed AS (
-  SELECT CAST(split_part(line, ',', 1) AS BIGINT) AS event_id,
-         split_part(line, ',', 2) AS event_type,
-         CAST(split_part(line, ',', 3) AS BIGINT) AS user_id
+  -- NULLIF('') mirrors from_csv: an empty CSV field is NULL (DuckDB's
+  -- bare CAST('' AS BIGINT) throws instead)
+  SELECT CAST(NULLIF(split_part(line, ',', 1), '') AS BIGINT) AS event_id,
+         NULLIF(split_part(line, ',', 2), '') AS event_type,
+         CAST(NULLIF(split_part(line, ',', 3), '') AS BIGINT) AS user_id
   FROM lines
 )
 SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
@@ -93,9 +95,20 @@ GROUP BY event_type ORDER BY event_type
 @query("csv_line_parse", oracle=_CSV_ORACLE, tags=("csv", "parse"))
 def csv_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV text line -> `from_csv` typed struct -> filter + aggregate;
-    the parse is a JVM expression (codegen), not a Python UDF."""
+    the parse is a JVM expression (codegen), not a Python UDF. A NULL
+    field serializes as an EMPTY field (coalesce-to-'' + plain concat):
+    concat_ws would silently DROP the field and its separator, shifting
+    every later column one slot left on NULL-bearing rows."""
     ev = _t(spark, sf_dir, "events")
-    lines = ev.select(F.concat_ws(",", "event_id", "event_type", "user_id").alias("line"))
+    lines = ev.select(
+        F.concat(
+            F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            F.lit(","),
+            F.coalesce("event_type", F.lit("")),
+            F.lit(","),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+        ).alias("line")
+    )
     parsed = lines.select(
         F.from_csv("line", "event_id BIGINT, event_type STRING, user_id BIGINT").alias("c")
     ).select("c.*")
@@ -115,8 +128,10 @@ WITH lines AS (
   SELECT concat('<e><t>', event_type, '</t><u>', user_id, '</u></e>') AS line
   FROM events
 ), parsed AS (
+  -- from_xml parses an empty STRING element as '' but an empty
+  -- numeric element as NULL; the regexp twin mirrors both
   SELECT regexp_extract(line, '<t>(.*)</t>', 1) AS t,
-         CAST(regexp_extract(line, '<u>(.*)</u>', 1) AS BIGINT) AS u
+         CAST(NULLIF(regexp_extract(line, '<u>(.*)</u>', 1), '') AS BIGINT) AS u
   FROM lines
 )
 SELECT t AS event_type, COUNT(*) AS n, CAST(MAX(u) AS BIGINT) AS max_user
@@ -129,12 +144,14 @@ def xml_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML record line -> `from_xml` typed struct -> aggregate (oracle
     parses the same lines with regexp — independent implementations)."""
     ev = _t(spark, sf_dir, "events")
+    # NULL fields serialize as EMPTY elements (coalesce-to-''): bare
+    # concat would NULL the whole line when any field is NULL
     lines = ev.select(
         F.concat(
             F.lit("<e><t>"),
-            "event_type",
+            F.coalesce("event_type", F.lit("")),
             F.lit("</t><u>"),
-            F.col("user_id").cast("string"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
             F.lit("</u></e>"),
         ).alias("line")
     )
@@ -187,9 +204,13 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _URL_ORACLE = """
 WITH urls AS (
+  -- URL synthesis needs every component; rows missing one have no
+  -- well-formed URL to parse (DuckDB concat would silently turn a
+  -- NULL into '', Spark concat into a NULL url — neither is a URL)
   SELECT concat('https://', source, '.example.com/', lang, '/doc/', doc_id,
                 '?n=', n_chars) AS url
   FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
 ), parsed AS (
   SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
          regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
@@ -207,8 +228,15 @@ FROM parsed GROUP BY host ORDER BY host
 def url_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL column -> `parse_url` HOST/PATH/QUERY-param extraction ->
     per-host rollup (the crawl-inventory shape of a training-data
-    pipeline; oracle re-parses with regexp)."""
-    d = _t(spark, sf_dir, "documents")
+    pipeline; oracle re-parses with regexp). Rows missing a URL
+    component are excluded from synthesis on both engines — a real
+    pipeline parses a stored URL column, where parse_url(NULL) is
+    simply NULL."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
     urls = d.select(
         F.concat(
             F.lit("https://"), "source", F.lit(".example.com/"), "lang",

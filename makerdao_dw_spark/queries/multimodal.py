@@ -48,11 +48,12 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_stub",
     oracle="""
 WITH m AS (
+  -- NULL text = missing blob: the decode stage skips it on both sides
   SELECT doc_id, octet_length(encode(text)) AS n,
          CASE doc_id % 3 WHEN 0 THEN 'image/png'
                          WHEN 1 THEN 'audio/wav'
                          ELSE 'video/mp4' END AS media_type
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT media_type,
        COUNT(*) AS n_items,
@@ -89,7 +90,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vids AS (
   SELECT doc_id, text, octet_length(encode(text)) % 300 AS n_frames
   FROM documents
-  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 300 > 0
+  WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    AND octet_length(encode(text)) % 300 > 0
 ), idxs AS (
   SELECT doc_id, text, n_frames,
          UNNEST(list_sort(list_distinct(

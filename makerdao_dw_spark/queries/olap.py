@@ -280,10 +280,17 @@ def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("hll_within_5pct"),
-        (
+        # an all-NULL-value group has NULL exact AND NULL approx: the
+        # claim then is "both sketches agree it's undefined" (a bare
+        # <= would emit NULL and diverge from the oracle's literal TRUE)
+        F.when(
+            F.col("exact_p50_raw").isNull(), F.col("approx_p50").isNull()
+        )
+        .otherwise(
             F.abs(F.col("approx_p50") - F.col("exact_p50_raw"))
             <= 0.10 * F.abs(F.col("exact_p50_raw"))
-        ).alias("p50_within_10pct"),
+        )
+        .alias("p50_within_10pct"),
     ).orderBy("event_type")
 
 
@@ -461,7 +468,8 @@ WITH agg AS (
     FROM pc
 )
 SELECT a.o_orderstatus, a.med_price, r.o_orderpriority AS common_priority, a.n_customers
-FROM agg a JOIN ranked r ON a.o_orderstatus = r.o_orderstatus AND r.rk = 1
+FROM agg a JOIN ranked r
+  ON a.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus AND r.rk = 1
 ORDER BY a.o_orderstatus
 """,
     tags=("median", "mode", "distinct-agg"),
@@ -549,7 +557,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pc AS (
     SELECT user_id, event_type, COUNT(*) AS c
-    FROM events GROUP BY user_id, event_type
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY user_id, event_type
 )
 SELECT user_id,
        array_to_string(list_sort(list(event_type || ':' || CAST(c AS VARCHAR))), ',') AS type_counts,
@@ -564,9 +573,16 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user map of event_type -> count, built with map_from_entries
     then exported as sorted 'k:v' entries (maps are unordered, so the
     comparable form is the sorted entry list; the map itself is the
-    useful column downstream — O(1) lookups via map_get)."""
+    useful column downstream — O(1) lookups via map_get). NULL event
+    types are excluded on BOTH engines: Spark maps cannot hold a NULL
+    key (NULL_MAP_KEY throw), so the operator's declared domain is
+    non-NULL keys."""
     e = _t(spark, sf_dir, "events")
-    pc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    pc = (
+        e.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     m = pc.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "c"))).alias("tc")
     )

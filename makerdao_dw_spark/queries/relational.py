@@ -198,11 +198,14 @@ def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semi_anti_join",
     oracle="""
-SELECT c_custkey, c_name, 'active' AS status FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders)
+SELECT c_custkey, c_name, 'active' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 UNION ALL
-SELECT c_custkey, c_name, 'dormant' AS status FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+-- NOT EXISTS, not NOT IN: a single NULL o_custkey makes NOT IN
+-- three-valued-NULL for every unmatched row, while Spark's LEFT ANTI
+-- has NOT-EXISTS semantics (keeps them)
+SELECT c_custkey, c_name, 'dormant' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
     tags=("B23", "B5"),
 )
@@ -630,7 +633,7 @@ SELECT p_partkey,
        REPLACE(p_type, ' ', '_') AS type_snake,
        SUBSTR(p_name, 1, 10) AS name_prefix,
        LENGTH(p_name) AS name_len,
-       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CONCAT(COALESCE(p_brand, ''), ':', COALESCE(p_type, '')) AS brand_type,
        REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels
 FROM part
 """,
@@ -644,7 +647,14 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # explicit COALESCE-to-'' on BOTH engines: Spark concat_ws
+        # SKIPS a NULL field (and its separator) while DuckDB CONCAT
+        # treats NULL as '' — 'T1' vs ':T1' for a NULL brand
+        F.concat(
+            F.coalesce("p_brand", F.lit("")),
+            F.lit(":"),
+            F.coalesce("p_type", F.lit("")),
+        ).alias("brand_type"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
     )
 
@@ -769,7 +779,7 @@ WITH base AS (
     FROM base
 )
 SELECT a.grp, d.label, a.n_rows, a.n_vals, a.n_nulls, a.sum_v,
-       ROUND(a.sum_v / a.n_vals, 6) AS avg_ignoring_nulls
+       ROUND(a.sum_v / NULLIF(a.n_vals, 0), 6) AS avg_ignoring_nulls
 FROM agg a JOIN dim d ON a.grp IS NOT DISTINCT FROM d.grp
 ORDER BY a.grp NULLS FIRST
 """,
@@ -818,7 +828,11 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vals",
             "n_nulls",
             "sum_v",
-            F.round(F.col("sum_v") / F.col("n_vals"), 6).alias("avg_ignoring_nulls"),
+            # NULLIF: an all-NULL-value group has n_vals = 0 (ANSI
+            # divide-by-zero on Spark, not a quiet NULL)
+            F.round(
+                F.col("sum_v") / F.expr("nullif(n_vals, 0)"), 6
+            ).alias("avg_ignoring_nulls"),
         )
         .orderBy(F.col("grp").asc_nulls_first())
     )

@@ -578,9 +578,13 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids_long",
     oracle="""
 WITH comp AS (
+    -- NULL embeddings contribute no components (Spark's posexplode of
+    -- a NULL array emits no rows; the LATERAL series would emit 8
+    -- NULL components) — excluded on both engines
     SELECT label, u.i - 1 AS pos,
            CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(38,12)) AS x
     FROM embeddings, LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) u
+    WHERE embedding IS NOT NULL
 )
 SELECT label, CAST(pos AS BIGINT) AS pos,
        COUNT(*) AS n,
@@ -604,7 +608,7 @@ def embedding_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums — the shuffle carries scalars, never vectors. The full
     64-dim centroid is the same plan with pos unrestricted."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    comp = e.select(
+    comp = e.filter(F.col("embedding").isNotNull()).select(
         "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "c")
     ).select(
         "label",
@@ -752,8 +756,12 @@ def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_covariance_pairs",
     oracle=f"""
 WITH el AS (
+    -- NULL embeddings excluded on both engines (posexplode emits no
+    -- rows for them; the series would emit {DIM} NULL components that
+    -- COUNT(*) counts but SUM skips)
     SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
     FROM embeddings, UNNEST(generate_series(1, {DIM})) AS t(i)
+    WHERE embedding IS NOT NULL
 ), pairs AS (
     SELECT a.i AS di, b.i AS dj,
            COUNT(*) AS n,
@@ -789,7 +797,7 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one tiny exchange; nothing is ever vector-count-sized past the
     scan. Final top-k is TakeOrderedAndProject."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    el = e.select(
+    el = e.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.posexplode("embedding").alias("i0", "xf")
     ).select(
         "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")

@@ -54,8 +54,9 @@ def sketch_hll_daily_active_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per partition (map-side partial sketch, tiny shuffle of
     ~KB registers), and any date-range distinct count is then a merge
     of |days| sketches. Union-of-parts == sketch-of-whole exactly,
-    because HLL merge is a register-wise max."""
-    e = _t(spark, sf_dir, "events")
+    because HLL merge is a register-wise max. Untimestamped rows have
+    no day to roll into — excluded (matches the checked surface)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
@@ -76,9 +77,10 @@ def sketch_hll_daily_active_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS est_within_5pct
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 UNION ALL
 SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events
+WHERE ts IS NOT NULL
 ORDER BY scope
 """,
     tags=("sketch", "hll", "rollup"),
@@ -90,9 +92,12 @@ def sketch_hll_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate — fully DuckDB-oracle-checkable (the oracle emits exact
     counts and literal TRUE), while still executing the full sketch
     rollup + union-merge path. Raw estimates: sketch_hll_daily_active_raw
-    (accuracy + merge-exactness pinned in tests/test_sketches.py)."""
+    (accuracy + merge-exactness pinned in tests/test_sketches.py).
+    Daily-active is undefined for an untimestamped event: NULL-ts rows
+    are excluded on both engines (they'd otherwise form a NULL scope
+    that the equi-join silently drops on one engine only)."""
     est = sketch_hll_daily_active_raw(spark, sf_dir)
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     exact_day = e.groupBy(F.to_date("ts").cast("string").alias("scope")).agg(
         F.countDistinct("user_id").alias("exact_users")
     )
@@ -130,19 +135,40 @@ def sketch_theta_userday_overlap_raw(spark: SparkSession, sf_dir: str) -> DataFr
     user-day strings so the sets only partially overlap (every user
     eventually does everything; user-days discriminate)."""
     e = _t(spark, sf_dir, "events")
-    keyed = e.filter(F.col("event_type").isin("click", "purchase")).select(
+    keyed = e.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         "event_type",
         F.concat_ws("_", F.col("user_id"), F.to_date("ts")).alias("user_day"),
     )
     sk = keyed.groupBy("event_type").agg(F.theta_sketch_agg("user_day").alias("sk"))
     wide = sk.groupBy().pivot("event_type", ["click", "purchase"]).agg(F.first("sk"))
     a, b = F.col("click"), F.col("purchase")
+
+    # a corpus with NO rows of one type leaves that pivot cell NULL:
+    # semantically the EMPTY set (estimate 0, identity for union,
+    # annihilator for intersection) — the theta_* expressions must
+    # never see a NULL buffer
+    def est(col: F.Column) -> F.Column:
+        return F.coalesce(
+            F.when(col.isNotNull(), F.theta_sketch_estimate(col)), F.lit(0.0)
+        )
+
+    union_ab = (
+        F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.theta_union(a, b))
+    )
+    inter_ab = F.when(a.isNotNull() & b.isNotNull(), F.theta_intersection(a, b))
+    diff_ab = F.when(a.isNotNull() & b.isNull(), a).otherwise(
+        F.when(a.isNotNull() & b.isNotNull(), F.theta_difference(a, b))
+    )
     return wide.select(
-        F.theta_sketch_estimate(a).alias("est_click"),
-        F.theta_sketch_estimate(b).alias("est_purchase"),
-        F.theta_sketch_estimate(F.theta_union(a, b)).alias("est_union"),
-        F.theta_sketch_estimate(F.theta_intersection(a, b)).alias("est_intersection"),
-        F.theta_sketch_estimate(F.theta_difference(a, b)).alias("est_click_only"),
+        est(a).alias("est_click"),
+        est(b).alias("est_purchase"),
+        est(union_ab).alias("est_union"),
+        est(inter_ab).alias("est_intersection"),
+        est(diff_ab).alias("est_click_only"),
     )
 
 
@@ -154,6 +180,7 @@ WITH k AS (
            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
     FROM events WHERE event_type IN ('click', 'purchase')
+      AND user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1
 )
 SELECT CAST(COALESCE(SUM(has_c), 0) AS BIGINT) AS exact_click,
@@ -176,7 +203,14 @@ def sketch_theta_userday_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketch_theta_userday_overlap_raw(spark, sf_dir)
     e = _t(spark, sf_dir, "events")
     k = (
-        e.filter(F.col("event_type").isin("click", "purchase"))
+        # a user-day identity needs BOTH parts: concat_ws would
+        # silently collapse a NULL user/ts to a partial key while the
+        # oracle's || yields NULL — exclude on both engines
+        e.filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .groupBy(
             F.concat_ws("_", F.col("user_id"), F.to_date("ts")).alias("user_day")
         )
@@ -235,19 +269,34 @@ def sketch_kll_value_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFram
     questions over any segment union become sketch merges, replacing
     exact `percentile()` sorts that shuffle the full column."""
     e = _t(spark, sf_dir, "events")
-    sk = e.groupBy("event_type").agg(F.kll_sketch_agg_double("value").alias("sk"))
+    sk = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count("value").alias("nv"),
+    )
+    # a segment whose values are all NULL aggregates to a valid-but-
+    # EMPTY 8-byte buffer (NOT a SQL NULL) on which merge/quantile
+    # throw KLL_INVALID_INPUT_SKETCH_BUFFER — the explicit value count
+    # is the guard: the fold skips empty sketches and quantiles are
+    # only read where nv > 0
     merged = sk.agg(
         F.expr(
-            "aggregate(sort_array(collect_list(struct(event_type, sk))),"
+            "aggregate(sort_array(collect_list(struct(event_type, sk, nv))),"
             " CAST(NULL AS BINARY),"
-            " (acc, x) -> CASE WHEN acc IS NULL THEN x.sk"
+            " (acc, x) -> CASE WHEN x.nv = 0 THEN acc"
+            "                  WHEN acc IS NULL THEN x.sk"
             "                  ELSE kll_sketch_merge_double(acc, x.sk) END)"
-        ).alias("sk")
-    ).select(F.lit("ALL").alias("segment"), "sk")
-    both = sk.select(F.col("event_type").alias("segment"), "sk").unionByName(merged)
+        ).alias("sk"),
+        F.sum("nv").alias("nv"),
+    ).select(F.lit("ALL").alias("segment"), "sk", "nv")
+    both = sk.select(F.col("event_type").alias("segment"), "sk", "nv").unionByName(
+        merged
+    )
 
     def q(p: float, name: str) -> F.Column:
-        return F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(name)
+        return F.when(
+            F.col("nv") > 0,
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)),
+        ).alias(name)
 
     return both.select(
         "segment", q(0.25, "p25"), q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
@@ -281,44 +330,79 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one), NOT an 'ALL'-labeled union of values (which vanishes when
     # the corpus is empty and diverges from the oracle)
     per_seg = e.groupBy(F.col("event_type").alias("segment")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+        F.count(F.lit(1)).alias("n_rows"), F.count("value").alias("n_vals")
     )
     agg_all = e.agg(
-        F.lit("ALL").alias("segment"), F.count(F.lit(1)).alias("n_rows")
+        F.lit("ALL").alias("segment"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_vals"),
     )
     vals = e.select(F.col("event_type").alias("segment"), "value").unionByName(
         e.select(F.lit("ALL").alias("segment"), "value")
     )
+    # null-safe segment joins (<=>): a NULL event_type is a real
+    # segment on both engines; an equi-join would silently drop it on
+    # the Spark side only. Ranks are over NON-NULL values (the sketch
+    # never sees NULLs), so the empirical fraction counts them alone.
+    # BOTH one-sided empirical ranks per estimate: with tied values the
+    # CDF jumps, so the correct claim is that the target rank lies in
+    # [P(X < est) - tol, P(X <= est) + tol] — a single <= fraction
+    # falsely fails a segment of identical values (P(X <= est) = 1)
     fracs = (
-        vals.join(F.broadcast(ests), "segment")
-        .groupBy("segment")
+        vals.filter(F.col("value").isNotNull())
+        .alias("v")
+        .join(F.broadcast(ests.alias("k")), F.expr("v.segment <=> k.segment"))
+        .groupBy(F.col("v.segment").alias("segment"))
         .agg(
             *[
-                (
-                    F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
-                    / F.count(F.lit(1))
-                ).alias(f"frac_{p}")
+                c
                 for p in ("p25", "p50", "p90", "p99")
+                for c in (
+                    (
+                        F.sum(F.when(F.col("value") < F.col(p), 1).otherwise(0))
+                        / F.count(F.lit(1))
+                    ).alias(f"frlt_{p}"),
+                    (
+                        F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
+                        / F.count(F.lit(1))
+                    ).alias(f"frle_{p}"),
+                )
             ],
         )
     )
-    agg = per_seg.unionByName(agg_all).join(fracs, "segment", "left")
+    agg = (
+        per_seg.unionByName(agg_all)
+        .alias("b")
+        .join(fracs.alias("f"), F.expr("b.segment <=> f.segment"), "left")
+        .select(
+            F.col("b.segment").alias("segment"),
+            "n_rows",
+            "n_vals",
+            *[
+                F.col(c)
+                for p in ("p25", "p50", "p90", "p99")
+                for c in (f"frlt_{p}", f"frle_{p}")
+            ],
+        )
+    )
     # tolerance = max(5%, 1/n): the KLL rank envelope is 5% of rank,
     # but empirical rank is quantized in steps of 1/n — below n=20 the
     # discrete resolution dominates (n=1: ANY estimate is within one
     # rank step, so the claim is vacuously true, matching the oracle).
-    # NULLIF guards n=0 (empty corpus): fracs are NULL there and the
-    # claim coalesces to vacuous TRUE, like the oracle's literal.
+    # NULLIF guards n=0; a segment with ZERO non-NULL values has no
+    # distribution to check — its claim is vacuous TRUE, like the
+    # oracle's literal.
     tol = F.greatest(
-        F.lit(0.05), F.lit(1.0) / F.nullif(F.col("n_rows"), F.lit(0))
+        F.lit(0.05), F.lit(1.0) / F.nullif(F.col("n_vals"), F.lit(0))
     )
     return agg.select(
         "segment",
         "n_rows",
         *[
             F.coalesce(
-                F.abs(F.col(f"frac_{p}") - F.lit(target)) <= tol,
-                F.col("n_rows") == 0,
+                (F.col(f"frlt_{p}") - tol <= F.lit(target))
+                & (F.lit(target) <= F.col(f"frle_{p}") + tol),
+                F.col("n_vals") == 0,
             ).alias(f"rank_ok_{p}")
             for p, target in (("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
         ],

@@ -30,6 +30,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        COUNT(*) AS n,
        SUM(CAST(value AS DECIMAL(38,6))) AS total_value
 FROM events
+WHERE ts IS NOT NULL  -- watermarked jobs drop rows with no event time
 GROUP BY 1, 2
 ORDER BY day, event_type
 """,
@@ -82,6 +83,7 @@ WITH flagged AS (
                      OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL  -- watermarked jobs drop rows with no event time
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
     SELECT user_id, ts,
@@ -115,6 +117,7 @@ SELECT user_id,
        MIN(value) AS min_value,
        MAX(ts) AS last_ts
 FROM events
+WHERE ts IS NOT NULL  -- the stateful job keys time-ordered state on event time
 GROUP BY user_id
 ORDER BY user_id
 """,

@@ -150,9 +150,11 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint_winnow",
     oracle="""
 WITH grams AS (
+    -- COALESCE: a NULL text fingerprints like an empty one ('' row),
+    -- identically on both engines
     SELECT doc_id,
-           list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-                          i -> substr(md5(substr(text, i, 8)), 1, 16)) AS hs
+           list_transform(generate_series(1, greatest(length(COALESCE(text, '')) - 7, 1)),
+                          i -> substr(md5(substr(COALESCE(text, ''), i, 8)), 1, 16)) AS hs
     FROM documents
 )
 SELECT doc_id,
@@ -172,7 +174,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # let-bind the gram-hash array: referenced by size() and per-element
     # slice(); without binding, the md5 pass would re-run O(n) times.
     fp_expr = let_bound(
-        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(md5(substring(text, i, 8)), 1, 16))",
+        "transform(sequence(1, greatest(length(coalesce(text, '')) - 7, 1)), i -> substring(md5(substring(coalesce(text, ''), i, 8)), 1, 16))",
         "array_join(array_sort(array_distinct(transform(sequence(1, greatest(size({x}) - 3, 1)), i -> array_min(slice({x}, i, 4))))), ',')",
     )
     return d.select("doc_id", F.expr(fp_expr).alias("fingerprints")).orderBy("doc_id")
@@ -209,9 +211,10 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_rolling_hash_rabin",
     oracle="""
 WITH chars AS (
+    -- COALESCE: a NULL text hashes like an empty one, both engines
     SELECT doc_id, length(text) AS n_chars_txt,
-           list_transform(generate_series(1, length(text)),
-                          i -> ord(substr(text, i, 1))) AS cs
+           list_transform(generate_series(1, length(COALESCE(text, ''))),
+                          i -> ord(substr(COALESCE(text, ''), i, 1))) AS cs
     FROM documents
 ), hashed AS (
     SELECT doc_id, n_chars_txt,
@@ -246,7 +249,7 @@ def doc_rolling_hash_rabin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     fold = "(acc, c) -> (acc * 257 + c) % 2147483647"
     expr = let_bound(
-        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))",
+        "transform(sequence(1, length(coalesce(text, ''))), i -> ascii(substring(coalesce(text, ''), i, 1)))",
         "struct("
         f" aggregate({{x}}, cast(0 as bigint), {fold}) AS full_hash,"
         # greatest(...,1): Spark sequence(0,-1) DESCENDS for empty text while

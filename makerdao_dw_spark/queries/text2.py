@@ -233,7 +233,11 @@ def regexp_extract_all_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]*an[a-z]*"), 0)).alias("n_an_words"),
         F.size(ops).alias("n_op_words"),
-        F.array_join(F.slice(ops, 1, 5), ",").alias("first_ops"),
+        # COALESCE('') mirrors the oracle: a NULL text has no matches —
+        # the joined string is '' on both engines, not NULL-vs-''
+        F.coalesce(F.array_join(F.slice(ops, 1, 5), ","), F.lit("")).alias(
+            "first_ops"
+        ),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{6,}\b"), 0)).alias("n_long_words"),
     ).orderBy("doc_id")
 

@@ -358,6 +358,7 @@ WITH flagged AS (
                 OR epoch(ts) - epoch(LAG(ts) OVER w) >= 4 * 3600
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
@@ -383,8 +384,11 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: session_window is ONE hash exchange on user_id +
     sort; Spark merges adjacent windows in the aggregation itself —
-    no LAG pre-pass, no second window stage like the manual build."""
-    e = _t(spark, sf_dir, "events")
+    no LAG pre-pass, no second window stage like the manual build.
+    NULL-ts rows carry no event time and belong to no session — the
+    built-in drops them implicitly; the filter makes that contract
+    explicit and keeps the oracle in lockstep."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy("user_id", F.session_window("ts", "4 hours").alias("sw"))
         .agg(

@@ -106,9 +106,15 @@ def udaf_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    # null-safe join key: a NULL priority group must survive the
+    # count join (plain equi-join drops it — NULL never equals NULL)
     return (
-        gini.join(F.broadcast(counts), "o_orderpriority")
-        .select("o_orderpriority", "n_orders", "gini")
+        gini.alias("g")
+        .join(
+            F.broadcast(counts.alias("c")),
+            F.expr("g.o_orderpriority <=> c.o_orderpriority"),
+        )
+        .select(F.col("g.o_orderpriority").alias("o_orderpriority"), "n_orders", "gini")
         .orderBy("o_orderpriority")
     )
 

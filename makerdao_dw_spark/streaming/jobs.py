@@ -176,8 +176,12 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running stats that survive across micro-batches via the state store
     — the pattern for accumulating per-key aggregates the built-in
-    operators can't express (arbitrary Python state transition)."""
-    ev = stream_table(spark, sf_dir, "events")
+    operators can't express (arbitrary Python state transition).
+    Untimestamped rows are excluded: 'latest ts' is undefined for
+    them, and pandas would otherwise fold a NaT into the state as the
+    int64-min sentinel (year 1677) — the watermarked jobs drop such
+    rows implicitly, this one pins the same contract explicitly."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     st = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_stats, _STATE_OUT, _STATE, "update", GroupStateTimeout.NoTimeout
     )
