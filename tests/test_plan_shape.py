@@ -833,3 +833,25 @@ def test_wave17_plan_hygiene(spark):
         assert not _heavy_pushed_filters(df), name
     p = plan_str(run(spark, "bootstrap_blb_ci"))
     assert "Join" not in p, p[:2000]
+
+
+def test_wave18_plan_hygiene(spark):
+    """Profiling wave: table_profile_summary computes every column's
+    aggregates in ONE scan (the long form is a stack over a 1-row
+    aggregate — no per-column scans); mad_robust_outliers checkpoints
+    both median tables (the consuming plan reads LogicalRDDs + one
+    live events scan per deviation pass); conformal's model and radius
+    broadcast onto the split scans — no sort-merge joins anywhere."""
+    df = run(spark, "table_profile_summary")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+
+    df = run(spark, "mad_robust_outliers")
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+    df = run(spark, "conformal_interval_calibration")
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
