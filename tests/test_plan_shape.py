@@ -855,3 +855,21 @@ def test_wave18_plan_hygiene(spark):
     p = plan_str(df)
     assert "SortMergeJoin" not in p, p[:2000]
     assert "EvalPython" not in p, p[:2000]
+
+
+def test_wave19_plan_hygiene(spark):
+    """Experiments wave 3: cuped_variance_reduction checkpoints the
+    per-user (x, y, arm) rollup — corpus-midpoint bounds, global
+    moments (theta), and per-arm moments all consume it, so the
+    consuming plan reads the LogicalRDD and the theta/bounds sides
+    broadcast; ab_power_mde is one events scan into two chained
+    aggregations. No sort-merge joins."""
+    df = run(spark, "cuped_variance_reduction")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+
+    df = run(spark, "ab_power_mde")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
