@@ -45,14 +45,21 @@ WITH e1 AS (
     -- test_asof_null_event_type_on_winning_row)
     SELECT user_id, ts, MAX(event_id) AS event_id,
            (MAX_BY(struct_pack(ty := event_type), event_id)).ty AS event_type
-    FROM events GROUP BY user_id, ts
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id, ts
 )
+-- NULL-date probes are split out with NULL payloads: an order with no
+-- date has no "as of" point (DuckDB's ASOF would otherwise apply its
+-- own NULL ordering and match the LATEST state — engine quirk, not a
+-- semantic); untimestamped events are likewise never "latest prior"
 SELECT o.o_orderkey, o.o_custkey,
        e.event_id AS last_event_id, e.event_type AS last_event_type
-FROM orders o
+FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
 ASOF LEFT JOIN e1 e
   ON o.o_custkey = e.user_id AND e.ts < o.o_orderdate
-ORDER BY o.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_custkey, NULL, NULL
+FROM orders WHERE o_orderdate IS NULL
+ORDER BY o_orderkey
 """,
     tags=("asof", "range-join"),
 )
@@ -78,9 +85,14 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     way. The property test test_semantics_properties.py generates
     deliberate ties against DuckDB.
     """
-    # window-first plan: skip auto-spread (see window_rank_lag note)
+    # window-first plan: skip auto-spread (see window_rank_lag note).
+    # Untimestamped events are never "latest prior" — excluded (their
+    # NULL t would sort NULLS FIRST into every probe's preceding frame)
+    # NULL-key states excluded too: the window PARTITIONS BY key, and
+    # Spark groups NULL keys into one partition — a NULL-user state
+    # would match a NULL-custkey probe, which join equality never does
     e = configure(spark) and load_table(spark, sf_dir, "events", spread=False)
-    e = e.select(
+    e = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull()).select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
         F.lit(0).alias("is_probe"),
@@ -122,13 +134,22 @@ def asof_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("last_event_id"), F.col("last_event_type")),
         ),
     ).withColumn("ev_ff", F.last("ev", ignorenulls=True).over(w))
+    # NULL-date probes match nothing BY CONTRACT (their NULLS-FIRST
+    # position already gives an empty preceding frame; the explicit
+    # guard pins the semantics against ordering changes)
     return (
         merged.filter(F.col("is_probe") == 1)
         .select(
             "o_orderkey",
             F.col("k").alias("o_custkey"),
-            F.col("ev_ff.last_event_id").alias("last_event_id"),
-            F.col("ev_ff.last_event_type").alias("last_event_type"),
+            F.when(
+                F.col("t").isNotNull() & F.col("k").isNotNull(),
+                F.col("ev_ff.last_event_id"),
+            ).alias("last_event_id"),
+            F.when(
+                F.col("t").isNotNull() & F.col("k").isNotNull(),
+                F.col("ev_ff.last_event_type"),
+            ).alias("last_event_type"),
         )
         .orderBy("o_orderkey")
     )
@@ -681,14 +702,20 @@ WITH e1 AS (
     -- among equal timestamps is unspecified in both engines, so the
     -- dedup IS the determinism contract (mirrored in the Spark path)
     SELECT user_id, ts, MIN(event_id) AS event_id
-    FROM events GROUP BY user_id, ts
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id, ts
 )
+-- NULL-date probes split out with a NULL payload (see the forward
+-- as-of: DuckDB ASOF's NULL handling is an engine quirk, not a
+-- semantic); untimestamped events are never "first following"
 SELECT o.o_orderkey, o.o_custkey,
        e.event_id AS next_event_id
-FROM orders o
+FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
 ASOF LEFT JOIN e1 e
   ON o.o_custkey = e.user_id AND e.ts > o.o_orderdate
-ORDER BY o.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_custkey, NULL
+FROM orders WHERE o_orderdate IS NULL
+ORDER BY o_orderkey
 """,
     tags=("asof", "range-join", "backward"),
 )
@@ -702,8 +729,12 @@ def asof_backward_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same 100 TB shape as the forward as-of: one hash exchange on the
     key, one sort, linear — no per-probe range scan."""
     configure(spark)
+    # untimestamped events excluded; a NULL-t PROBE would sort NULLS
+    # FIRST with the whole partition in its following frame — nulled
+    # out explicitly below (no "as of" point)
     e = (
         load_table(spark, sf_dir, "events", spread=False)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.min("event_id").alias("event_id"))
         .select(
@@ -734,7 +765,10 @@ def asof_backward_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.col("k").alias("o_custkey"),
-            F.col("ev_ff").alias("next_event_id"),
+            F.when(
+                F.col("t").isNotNull() & F.col("k").isNotNull(),
+                F.col("ev_ff"),
+            ).alias("next_event_id"),
         )
         .orderBy("o_orderkey")
     )

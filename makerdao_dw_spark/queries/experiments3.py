@@ -46,10 +46,13 @@ _DEC = "decimal(38,6)"
     oracle=f"""
 WITH bounds AS (
     -- midpoint in INTEGER MICROSECONDS on both engines (timestamp
-    -- interval halving rounds differently across engines)
+    -- interval halving rounds differently across engines), over the
+    -- SAME assignable-unit row set the metric uses (a NULL-user row
+    -- carrying the extreme ts must not move the oracle's midpoint
+    -- while the Spark side ignores it)
     SELECT epoch_us(MIN(ts))
            + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid_us
-    FROM events
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 peruser AS (
     SELECT user_id,

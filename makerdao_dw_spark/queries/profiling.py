@@ -6,8 +6,9 @@ intervals with measured coverage.
 - `table_profile_summary`: per-column profile of the orders table in
   long form (rows, nulls, distincts, min/max) — the data-quality
   profiler every warehouse runs on landing (AWS Deequ / dbt tests
-  shape). Min/max are canonicalized through printf-style formatting so
-  doubles and timestamps render identically on both engines.
+  shape). Min/max canonicalize through ROUND -> DECIMAL -> string
+  (doubles) and a pinned format (timestamps) so the text is identical
+  on both engines.
 - `mad_robust_outliers`: per-event-type robust outlier screen using
   median and MAD (median absolute deviation, consistency-scaled by
   1.4826): |x - median| > 3 * 1.4826 * MAD. The robust twin of the
@@ -66,7 +67,8 @@ FROM t
 UNION ALL
 SELECT 'o_totalprice', COUNT(*), CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
        COUNT(DISTINCT o_totalprice),
-       printf('%.6f', MIN(o_totalprice)), printf('%.6f', MAX(o_totalprice))
+       CAST(CAST(ROUND(MIN(o_totalprice), 6) AS DECIMAL(38,6)) AS VARCHAR),
+       CAST(CAST(ROUND(MAX(o_totalprice), 6) AS DECIMAL(38,6)) AS VARCHAR)
 FROM t
 UNION ALL
 SELECT 'o_orderdate', COUNT(*), CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
@@ -89,9 +91,11 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan computes every column's aggregates in a single global
     aggregation row; the long form is a map-side stack (unpivot) of
     that 1-row result, so profiling N columns costs one pass at any
-    table size. Doubles canonicalize through printf('%.6f') and
-    timestamps through a pinned format — identical text on both
-    engines (bare double->string rendering differs)."""
+    table size. Doubles canonicalize through ROUND(6) -> DECIMAL(38,6)
+    -> string and timestamps through a pinned format — identical text
+    on both engines (bare double->string rendering differs, and
+    printf-style formatting rounds midpoints differently: Spark
+    HALF_UP vs DuckDB half-even)."""
     o = _t(spark, sf_dir, "orders")
     cols = [
         ("o_orderkey", "bigint"),
@@ -105,10 +109,13 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     def canon(c: str, typ: str, agg: str) -> F.Column:
         col = F.min(c) if agg == "min" else F.max(c)
         if typ == "double":
-            # guard: format_string renders a NULL double as the
-            # LITERAL STRING 'null' (printf semantics) while DuckDB's
-            # printf returns SQL NULL
-            return F.when(col.isNotNull(), F.format_string("%.6f", col))
+            # ROUND first (F.round and DuckDB ROUND agree: half-up /
+            # half-away — the repo's cross-engine rounding anchor),
+            # then render through DECIMAL(38,6) for fixed-scale text.
+            # printf-style formatting is NOT safe here: Spark's
+            # format_string rounds HALF_UP while DuckDB's printf
+            # rounds half-even — dyadic midpoints like 9/128 diverge.
+            return F.round(col, 6).cast("decimal(38,6)").cast("string")
         if typ == "timestamp":
             return F.date_format(col, _TS_FMT_SPARK)
         return col.cast("string")
@@ -238,7 +245,6 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Split-conformal prediction interval with measured coverage
 # ---------------------------------------------------------------------------
 _CONF_ALPHA = 0.1  # target 90% coverage
-_U_DENOM = 1 << 20
 _SPLIT_SPARK = (
     "(cast(conv(substr(md5(concat('conf:', cast(o_orderkey as string))),"
     f" 1, 8), 16, 10) as bigint) % 4)"

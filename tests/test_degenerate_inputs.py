@@ -339,13 +339,17 @@ def test_blb_degenerate_replicates_excluded(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def nullish_dir(tmp_path_factory):
-    """4-row tables where one row carries NULL in every nullable
-    NON-KEY column (NULL user_id / o_custkey entity refs, NULL ts,
-    NULL text, NULL embedding/label) and two rows tie on typical
-    ordering metrics — the corpus that surfaces the cross-engine
+    """Tables where NULLs are DECOUPLED across rows — one row NULLs
+    only the entity ref (but carries EXTREME valid values, e.g. the
+    global max ts), another NULLs only the time/metric columns, a
+    third NULLs the remaining payload columns — plus two rows tying on
+    typical ordering metrics. Surfaces (a) the cross-engine
     NULL-ordering divergence class (Spark ASC = NULLS FIRST, DuckDB =
-    NULLS LAST) on BOTH metric and tie-break window columns, plus
-    NULL-propagation differences in string/array expressions."""
+    NULLS LAST) on metric AND tie-break window columns, (b) NULL
+    propagation in string/array expressions, and (c) queries whose
+    Spark side and oracle filter NULLs on DIFFERENT columns (the
+    wave-19 CUPED midpoint bug class — invisible when all NULLs sit on
+    one row)."""
     import datetime
 
     d = tmp_path_factory.mktemp("nullish_sf")
@@ -356,82 +360,90 @@ def nullish_dir(tmp_path_factory):
         return t0 + datetime.timedelta(days=n)
 
     vec = [0.5] * 64
+    vec2 = [0.25] * 64
     rows = {
-        "region": {"r_regionkey": [0, 1, 2, 3], "r_name": ["R0", None, "R2", "R2"]},
+        "region": {
+            "r_regionkey": [0, 1, 2, 3],
+            "r_name": ["R0", None, "R2", "R2"],
+        },
         "nation": {
-            "n_nationkey": [0, 1, 2, 3],
-            "n_name": ["N0", None, "N2", "N2"],
-            "n_regionkey": [0, None, 2, 2],
+            "n_nationkey": [0, 1, 2, 3, 4],
+            "n_name": ["N0", None, "N2", "N2", "N4"],
+            "n_regionkey": [0, 2, 2, 2, None],
         },
         "customer": {
-            "c_custkey": [1, 2, 3, 4],
-            "c_name": ["c1", None, "c3", "c3"],
-            "c_nationkey": [0, None, 2, 2],
-            "c_acctbal": [10.0, None, 5.0, 5.0],
-            "c_mktsegment": ["S", None, "T", "T"],
+            "c_custkey": [1, 2, 3, 4, 5],
+            "c_name": ["c1", None, "c3", "c3", "c5"],
+            "c_nationkey": [0, 2, 2, 2, None],
+            "c_acctbal": [10.0, 20.0, 5.0, 5.0, None],
+            "c_mktsegment": ["S", "T", "T", "T", None],
         },
         "supplier": {
-            "s_suppkey": [1, 2, 3, 4],
-            "s_name": ["s1", None, "s3", "s3"],
-            "s_nationkey": [0, None, 2, 2],
-            "s_acctbal": [1.0, None, 2.0, 2.0],
+            "s_suppkey": [1, 2, 3, 4, 5],
+            "s_name": ["s1", None, "s3", "s3", "s5"],
+            "s_nationkey": [0, 2, 2, 2, None],
+            "s_acctbal": [1.0, 3.0, 2.0, 2.0, None],
         },
         "part": {
-            "p_partkey": [1, 2, 3, 4],
-            "p_name": ["p1", None, "p3", "p3"],
-            "p_type": ["T1", None, "T3", "T3"],
-            "p_size": [1, None, 3, 3],
-            "p_retailprice": [1.0, None, 3.0, 3.0],
+            "p_partkey": [1, 2, 3, 4, 5],
+            "p_name": ["p1", None, "p3", "p3", "p5"],
+            "p_type": ["T1", "T2", "T3", "T3", None],
+            "p_size": [1, 2, 3, 3, None],
+            "p_retailprice": [1.0, 2.0, 3.0, 3.0, None],
         },
         "orders": {
-            "o_orderkey": [1, 2, 3, 4],
-            "o_custkey": [1, None, 3, 4],
-            "o_orderstatus": ["O", None, "F", "F"],
-            "o_totalprice": [100.0, None, 50.0, 50.0],
-            "o_orderdate": [days(0), None, days(2), days(2)],
-            "o_orderpriority": ["1-URGENT", None, "3-MEDIUM", "3-MEDIUM"],
+            # row 2: NULL entity ref ONLY — carries the GLOBAL MAX
+            # date and an extreme price; row 3: NULL metrics only
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_custkey": [1, None, 3, 4, 5],
+            "o_orderstatus": ["O", "O", None, "F", "F"],
+            "o_totalprice": [100.0, 999.0, None, 50.0, 50.0],
+            "o_orderdate": [days(0), days(9), None, days(2), days(2)],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", None, "3-MEDIUM", "3-MEDIUM"],
         },
         "lineitem": {
-            "l_orderkey": [1, 2, 3, 4],
-            "l_partkey": [1, None, 3, 3],
-            "l_suppkey": [1, None, 3, 3],
-            "l_linenumber": [1, None, 1, 1],
-            "l_quantity": [1.0, None, 2.0, 2.0],
-            "l_extendedprice": [10.0, None, 20.0, 20.0],
-            "l_discount": [0.0, None, 0.1, 0.1],
-            "l_tax": [0.0, None, 0.1, 0.1],
-            "l_returnflag": ["N", None, "R", "R"],
-            "l_linestatus": ["O", None, "F", "F"],
-            "l_shipdate": [days(1), None, days(3), days(3)],
+            "l_orderkey": [1, 2, 3, 4, 5],
+            "l_partkey": [1, None, 3, 3, 5],
+            "l_suppkey": [1, None, 3, 3, 5],
+            "l_linenumber": [1, 1, None, 1, 1],
+            "l_quantity": [1.0, 9.0, None, 2.0, 2.0],
+            "l_extendedprice": [10.0, 90.0, None, 20.0, 20.0],
+            "l_discount": [0.0, 0.2, None, 0.1, 0.1],
+            "l_tax": [0.0, 0.2, None, 0.1, 0.1],
+            "l_returnflag": ["N", "A", None, "R", "R"],
+            "l_linestatus": ["O", "F", None, "F", "F"],
+            "l_shipdate": [days(1), days(9), None, days(3), days(3)],
         },
         "events": {
-            "event_id": [1, 2, 3, 4],
-            "ts": [days(0), None, days(2), days(2)],
-            "user_id": [1, None, 3, 3],
-            "event_type": ["purchase", None, "view", "view"],
-            "value": [1.0, None, 2.0, 2.0],
-            "props": ['{"k": 1}', None, "{}", "{}"],
+            # row 2: NULL user ONLY, with the GLOBAL MAX ts (a midpoint
+            # or anchor computed over a differently-filtered set moves);
+            # row 3: NULL ts ONLY; row 4: NULL payload only
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [days(0), days(10), None, days(2), days(2), days(3)],
+            "user_id": [1, None, 2, 3, 3, 4],
+            "event_type": ["purchase", "view", "view", None, "view", "view"],
+            "value": [1.0, 5.0, 2.0, None, 2.0, 2.0],
+            "props": ['{"k": 1}', "{}", "{}", None, "{}", "{}"],
         },
         "documents": {
-            "doc_id": [1, 2, 3, 4],
-            "text": ["alpha beta gamma", None, "delta delta", "delta delta"],
-            "lang": ["en", None, "de", "de"],
-            "source": ["s1", None, "s2", "s2"],
-            "n_chars": [16, None, 11, 11],
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha beta gamma", None, "delta delta", "delta delta", "omega"],
+            "lang": ["en", "en", "de", "de", None],
+            "source": ["s1", "s1", "s2", "s2", None],
+            "n_chars": [16, 10, 11, 11, None],
         },
         "embeddings": {
-            "vec_id": [1, 2, 3, 4],
-            "label": [1, None, 2, 2],
-            "embedding": [vec, None, vec, vec],
+            "vec_id": [1, 2, 3, 4, 5],
+            "label": [1, 1, 2, 2, None],
+            "embedding": [vec, None, vec, vec, vec2],
         },
     }
     for t, schema in schemas.items():
         cols = rows[t]
+        n = len(next(iter(cols.values())))
         # keep only schema fields, in schema order; extra fields in the
         # schema (if testdata evolves) fall back to NULLs
-        data = {
-            f.name: cols.get(f.name, [None, None, None, None]) for f in schema
-        }
+        data = {f.name: cols.get(f.name, [None] * n) for f in schema}
         pq.write_table(
             pa.table(data, schema=schema), os.path.join(str(d), f"{t}.parquet")
         )
