@@ -873,3 +873,23 @@ def test_wave19_plan_hygiene(spark):
     df = run(spark, "ab_power_mde")
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 1, o[:3000]
+
+
+def test_wave20_plan_hygiene(spark):
+    """Insights wave: pmi_collocations' token totals are broadcast
+    1-row aggregates and no lambda-laden Filter pushes below the
+    spread exchange; user_interarrival_burstiness is one events scan
+    into a window + rollup; label_propagation_communities checkpoints
+    the basket and edge tables (each feeds multiple rounds) — the
+    consuming plan reads LogicalRDDs only."""
+    df = run(spark, "pmi_collocations")
+    assert not _heavy_pushed_filters(df)
+
+    df = run(spark, "user_interarrival_burstiness")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+
+    df = run(spark, "label_propagation_communities")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+    assert not _heavy_pushed_filters(df)
