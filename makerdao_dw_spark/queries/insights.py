@@ -345,10 +345,14 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     wv = Window.partitionBy("node").orderBy(F.col("n_votes").desc(), "label")
+    # node-cardinality result, TWO consumers (community sizes + the
+    # join-back) — without the checkpoint the whole 24M-edge vote
+    # chain runs twice (measured at sf1: 48s -> 18s)
     l2 = (
         votes.withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
         .select("node", "label")
+        .localCheckpoint(eager=True)
     )
     sizes = l2.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return (
