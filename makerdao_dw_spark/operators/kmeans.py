@@ -52,36 +52,69 @@ def kmeans_fit(
     """Train k centroids with Lloyd iterations. Init = the k vectors with
     the lowest `id_col` values (deterministic, no RNG). Returns centroids
     ordered by cluster id; empty clusters keep their previous centroid."""
-    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [list(map(float, r[0])) for r in init]
-    if not centroids:
+    return kmeans_fit_multi(df, [vec_col], id_col, k, max_iter)[0]
+
+
+def kmeans_fit_multi(
+    df: DataFrame,
+    vec_cols: list[str],
+    id_col: str,
+    k: int,
+    max_iter: int = 3,
+) -> list[list[list[float]]]:
+    """Train one k-centroid codebook PER vector column in SHARED
+    distributed passes — the PQ-subspace shape (m codebooks over m
+    slices of one checkpointed table). Per-codebook math is identical
+    to independent kmeans_fit calls (assignment expressions and the
+    per-(codebook, cluster, pos) decimal mean sums don't interact), so
+    any unrolled oracle of the single-column form stays valid; the win
+    is driver round-trips: 1 init collect + 1 mean collect per
+    iteration TOTAL instead of per codebook (ann_pq_adc: ~13 jobs ->
+    ~4, measured 18.6s -> see commit)."""
+    init_rows = df.orderBy(id_col).limit(k).select(*vec_cols).collect()
+    if not init_rows:
         raise ValueError(
             "kmeans_fit: input DataFrame is empty (e.g. every vector was "
             "filtered out as zero-norm) — cannot initialize centroids"
         )
-    if len(centroids) < k:
+    if len(init_rows) < k:
         raise ValueError(
-            f"kmeans_fit: input has only {len(centroids)} rows but k={k}; "
+            f"kmeans_fit: input has only {len(init_rows)} rows but k={k}; "
             "reduce k or supply more vectors"
         )
-    dim = len(centroids[0])
+    cents = [
+        [list(map(float, r[i])) for r in init_rows]
+        for i in range(len(vec_cols))
+    ]
+    dims = [len(c[0]) for c in cents]
     for _ in range(max_iter):
-        assigned = assign_clusters(df, vec_col, centroids)
+        assigned = df
+        for i, vc in enumerate(vec_cols):
+            assigned = assign_clusters(assigned, vc, cents[i]).withColumnRenamed(
+                "cluster", f"__c{i}"
+            )
         # cast double BEFORE decimal (float->double is exact) and derive
         # the mean as ONE double division of the exact decimal sum — the
         # same two rules every oracle-matched vector aggregate follows
         # (embedding_centroids_long), so the training loop is replicable
         # bit-for-bit in DuckDB (ann_ivf_kmeans's unrolled oracle).
+        longf = None
+        for i, vc in enumerate(vec_cols):
+            part = assigned.select(
+                F.lit(i).alias("sub"),
+                F.col(f"__c{i}").alias("cluster"),
+                F.posexplode(vc).alias("pos", "v"),
+            )
+            longf = part if longf is None else longf.unionByName(part)
         means = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
+            longf.groupBy("sub", "cluster", "pos")
             .agg(
                 (
                     F.sum(F.col("v").cast("double").cast("decimal(38,12)")).cast("double")
                     / F.count("*")
                 ).alias("m")
             )
-            .groupBy("cluster")
+            .groupBy("sub", "cluster")
             .agg(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
@@ -89,10 +122,10 @@ def kmeans_fit(
             )
             .collect()
         )
-        new = list(centroids)
+        new = [list(c) for c in cents]
         for r in means:
             vec = list(map(float, r["centroid"]))
-            assert len(vec) == dim
-            new[r["cluster"]] = vec
-        centroids = new
-    return centroids
+            assert len(vec) == dims[r["sub"]]
+            new[r["sub"]][r["cluster"]] = vec
+        cents = new
+    return cents

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit
+from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit_multi
 from ..session import configure, load_table
 from .registry import query
 
@@ -208,18 +208,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.withColumn(
             f"sv{s}", F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
         )
-    # materialize the sliced corpus ONCE: the 4 sequential trainings
-    # issue ~12 driver-side jobs (init + 2 mean updates each), and
-    # without the cut every one re-reads and re-slices the parquet
-    # (review finding, wave 12). One local write, 13 local reads.
+    # materialize the sliced corpus ONCE (review finding, wave 12),
+    # then train ALL 4 subspace codebooks in SHARED passes: one init
+    # collect + one mean collect per Lloyd iteration total, instead of
+    # per subspace — per-codebook math identical to independent
+    # trainings, so the unrolled per-subspace oracle is unchanged
     e = e.localCheckpoint(eager=True)
-    cents = [
-        kmeans_fit(
-            e.select("vec_id", f"sv{s}"), f"sv{s}", "vec_id", k=_PQ_K,
-            max_iter=_PQ_ITER,
-        )
-        for s in range(_PQ_M)
-    ]
+    cents = kmeans_fit_multi(
+        e, [f"sv{s}" for s in range(_PQ_M)], "vec_id", k=_PQ_K,
+        max_iter=_PQ_ITER,
+    )
     codes = e
     for s in range(_PQ_M):
         codes = assign_clusters(codes, f"sv{s}", cents[s]).withColumnRenamed(
