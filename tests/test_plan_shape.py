@@ -893,3 +893,27 @@ def test_wave20_plan_hygiene(spark):
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
     assert not _heavy_pushed_filters(df)
+
+
+def test_wave21_plan_hygiene(spark):
+    """Maintenance wave: ivm_join_delta evaluates ONE tagged join
+    (checkpointed — the ivm terms and the full recompute both consume
+    it, so the consuming plan reads only the LogicalRDD);
+    zorder_morton_audit is one scan with broadcast bounds into an
+    8-bit-cardinality rollup; watermark_lateness_audit is one scan
+    into a per-type window + rollup."""
+    df = run(spark, "ivm_join_delta")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 0 and "LogicalRDD" in o, o[:3000]
+
+    df = run(spark, "zorder_morton_audit")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    # two scans: the broadcast min/max bounds subtree reads a
+    # column-pruned copy next to the main scan
+    assert o.lower().count("parquet") <= 2, o[:3000]
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+
+    df = run(spark, "watermark_lateness_audit")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
