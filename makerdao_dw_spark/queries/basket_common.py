@@ -1,0 +1,61 @@
+"""Shared basket scaffolding for co-purchase operators.
+
+ONE definition (per engine) of the apriori-gated basket build used by
+`market_basket_lift` (queries/experiments.py) and
+`label_propagation_communities` (queries/insights.py) — the same
+single-definition rule as text_common's tokenizer fragments: a drifted
+copy of the frequent-item gate or the NULL-key filter would silently
+desynchronize two queries documented as one co-purchase pipeline.
+
+Semantics: a basket item must be identifiable (NULL part keys are
+excluded — a NULL key matches nothing in join/IN semantics anyway, but
+the explicit filter also keeps an all-NULL order out of the basket
+universe), and only items appearing in >= min_item baskets enter pair
+generation (the apriori pruning that bounds the quadratic pair blowup
+by basket width x frequent-item density, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_ctes_duck(min_item: int) -> str:
+    """DuckDB CTE fragment defining baskets / items / freq / fb.
+
+    Splice after WITH; `freq` carries (p, n_item) for confidence/lift
+    consumers, `fb` is the frequent-item-filtered basket table."""
+    return f"""baskets AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    WHERE l_partkey IS NOT NULL
+),
+items AS (
+    SELECT p, COUNT(*) AS n_item FROM baskets GROUP BY p
+),
+freq AS (SELECT p, n_item FROM items WHERE n_item >= {min_item}),
+fb AS (SELECT o, p FROM baskets WHERE p IN (SELECT p FROM freq))"""
+
+
+def frequent_baskets(
+    li: DataFrame, min_item: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spark twin of basket_ctes_duck: returns (baskets, freq, fb).
+
+    `baskets` is eagerly checkpointed (it feeds the item counts, the
+    semi-join, and callers' basket totals); `freq` (p, n_item) is
+    checkpointed too (pair metrics join it back twice)."""
+    baskets = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    freq = (
+        baskets.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= min_item)
+        .localCheckpoint(eager=True)
+    )
+    fb = baskets.join(freq.select("p"), "p", "left_semi")
+    return baskets, freq, fb

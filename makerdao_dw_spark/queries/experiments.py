@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import query_table
+from .basket_common import basket_ctes_duck, frequent_baskets
 from .registry import query
 
 _t = query_table
@@ -294,19 +295,12 @@ _MB_TOP = 50
 @query(
     "market_basket_lift",
     oracle=f"""
-WITH baskets AS (
-    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-),
+WITH {basket_ctes_duck(_MB_MIN_ITEM)},
 n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM baskets),
-items AS (
-    SELECT p, COUNT(*) AS n_item FROM baskets GROUP BY p
-),
-freq AS (SELECT p, n_item FROM items WHERE n_item >= {_MB_MIN_ITEM}),
 pairs AS (
     SELECT b1.p AS p1, b2.p AS p2, COUNT(*) AS n_pair
-    FROM baskets b1
-    JOIN baskets b2 ON b1.o = b2.o AND b1.p < b2.p
-    WHERE b1.p IN (SELECT p FROM freq) AND b2.p IN (SELECT p FROM freq)
+    FROM fb b1
+    JOIN fb b2 ON b1.o = b2.o AND b1.p < b2.p
     GROUP BY 1, 2
     HAVING COUNT(*) >= {_MB_MIN_PAIR}
 )
@@ -341,22 +335,14 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; pair counting shuffles on (p1, p2); the basket total is a
     broadcast 1-row aggregate; the frequent-item table joins back
     twice on the part key. All metrics are integer-count ratios:
-    bit-identical doubles on both engines."""
+    bit-identical doubles on both engines. The basket build is the
+    SHARED scaffold (basket_common.py) — label_propagation_communities
+    walks the same graph."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    baskets, freq, b_freq = frequent_baskets(li, _MB_MIN_ITEM)
     n_orders = F.broadcast(
         baskets.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
     )
-    items = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
-    freq = items.filter(F.col("n_item") >= _MB_MIN_ITEM).localCheckpoint(
-        eager=True
-    )
-    fkeys = freq.select("p")
-    b_freq = baskets.join(fkeys, "p", "left_semi")
     pairs = (
         b_freq.alias("b1")
         .join(

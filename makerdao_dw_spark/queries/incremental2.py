@@ -68,10 +68,15 @@ terms AS (
     FROM o JOIN l ON o.o_orderkey = l.l_orderkey
 ),
 ivm AS (
+    -- rev_ivm is the SUM OF THE TAGGED TERMS, never SUM(rev): the
+    -- match flag must fail if the inclusion-exclusion partition ever
+    -- drops or double-counts a branch
     SELECT pri,
            SUM(CASE WHEN term = 'base' THEN rev END) AS rev_base,
            SUM(CASE WHEN term <> 'base' THEN rev END) AS rev_delta,
-           SUM(rev) AS rev_ivm
+           COALESCE(SUM(CASE WHEN term = 'base' THEN rev END), 0)
+           + COALESCE(SUM(CASE WHEN term <> 'base' THEN rev END), 0)
+               AS rev_ivm
     FROM terms GROUP BY pri
 ),
 full_v AS (
@@ -132,10 +137,21 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    zero_d = F.lit(0).cast(_DEC)
+    # rev_ivm = sum of the TAGGED terms (not SUM(rev)): the match flag
+    # verifies the inclusion-exclusion partition itself — a dropped or
+    # double-counted branch must flip it
     ivm = joined.groupBy("pri").agg(
         F.sum(F.when(F.col("term") == "base", F.col("rev"))).alias("rev_base"),
         F.sum(F.when(F.col("term") != "base", F.col("rev"))).alias("rev_delta"),
-        F.sum("rev").alias("rev_ivm"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("term") == "base", F.col("rev"))), zero_d
+            )
+            + F.coalesce(
+                F.sum(F.when(F.col("term") != "base", F.col("rev"))), zero_d
+            )
+        ).alias("rev_ivm"),
     )
     full_v = joined.groupBy("pri").agg(F.sum("rev").alias("rev_full"))
     zero = F.lit(0).cast(_DEC)

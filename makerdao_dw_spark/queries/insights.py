@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import query_table
+from .basket_common import basket_ctes_duck, frequent_baskets
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck
 
@@ -89,8 +90,9 @@ LIMIT {_PMI_TOP}
     tags=("text", "collocations", "pmi", "tokenizer-prep"),
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_PMI_TOP} collocations by PMI over adjacent word pairs
-    (min bigram count {_PMI_MIN}) — phrase discovery for tokenizer /
+    """Top-50 collocations by PMI over adjacent word pairs (min
+    bigram count 5; constants _PMI_TOP/_PMI_MIN) — phrase discovery
+    for tokenizer /
     vocab construction. Exact integer unigram and bigram counts; the
     token totals are broadcast 1-row aggregates; the bigram->unigram
     joins key on the word (vocab-sized, AQE broadcasts at small scale
@@ -153,11 +155,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_w1",
             "n_w2",
             F.round(pmi, 6).alias("pmi"),
-            pmi.alias("_raw"),
         )
-        .orderBy(F.col("_raw").desc(), "w1", "w2")
+        # rank on the ROUNDED score (both engines): the raw ln value
+        # carries the 1-ulp cross-engine class that ROUND(6) absorbs,
+        # and the oracle's ORDER BY resolves to its rounded alias — a
+        # raw-vs-rounded sort could pick different LIMIT-boundary rows
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOP)
-        .drop("_raw")
     )
 
 
@@ -261,14 +265,7 @@ _LPA_MIN_ITEM = 5  # frequent-item gate for the pair join (apriori)
 @query(
     "label_propagation_communities",
     oracle=f"""
-WITH baskets AS (
-    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    WHERE l_partkey IS NOT NULL
-),
-freq AS (
-    SELECT p FROM baskets GROUP BY p HAVING COUNT(*) >= {_LPA_MIN_ITEM}
-),
-fb AS (SELECT o, p FROM baskets WHERE p IN (SELECT p FROM freq)),
+WITH {basket_ctes_duck(_LPA_MIN_ITEM)},
 pairs AS (
     SELECT DISTINCT b1.p AS u, b2.p AS v
     FROM fb b1 JOIN fb b2 ON b1.o = b2.o AND b1.p < b2.p
@@ -312,20 +309,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     each round is one edge-label join + one vote aggregation — O(E)
     data motion per round with no driver state, the LPA shape that
     scales to any edge count. Both rounds (and the tie-breaks) unroll
-    into the DuckDB oracle."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
-    baskets = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    freq = (
-        baskets.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _LPA_MIN_ITEM)
-        .select("p")
-    )
-    fb = baskets.join(freq, "p", "left_semi")
+    into the DuckDB oracle. The basket build is the SHARED scaffold
+    (basket_common.py) — market_basket_lift mines the same graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    _baskets, _freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
     pairs = (
         fb.alias("b1")
         .join(
