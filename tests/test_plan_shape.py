@@ -917,3 +917,27 @@ def test_wave21_plan_hygiene(spark):
     df = run(spark, "watermark_lateness_audit")
     o = df._jdf.queryExecution().optimizedPlan().toString()
     assert o.lower().count("parquet") == 1, o[:3000]
+
+
+def test_wave22_plan_hygiene(spark):
+    """Time-series modeling wave: holt_linear_forecast's distributed
+    part is ONE events scan into the daily rollup — the sequential
+    fold lives in a single aggregate() expression (no Python, no
+    join); theil_sen_trend checkpoints the calendar-bounded daily
+    series (pair join reads the LogicalRDD on both sides) and the
+    slope/intercept summaries broadcast."""
+    df = run(spark, "holt_linear_forecast")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    p = plan_str(df)
+    assert "EvalPython" not in p, p[:2000]
+    assert "Join" not in p, p[:2000]
+
+    df = run(spark, "theil_sen_trend")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    # one live scan feeds the daily rollup; the pair join reads the
+    # checkpointed LogicalRDD
+    assert "LogicalRDD" in o, o[:3000]
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
