@@ -941,3 +941,21 @@ def test_wave22_plan_hygiene(spark):
     p = plan_str(df)
     assert "SortMergeJoin" not in p, p[:2000]
     assert "EvalPython" not in p, p[:2000]
+
+
+def test_wave23_plan_hygiene(spark):
+    """Training wave 23: curation_threshold_grid is one documents scan
+    cross-joined with the broadcast 9-row literal grid (no second
+    scan, no lambda Filter below the spread exchange);
+    skipgram_negative_samples checkpoints the vocabulary (rank joins,
+    the center panel, and the draw modulus all consume it) and pushes
+    no tokenizer lambda into a scan Filter."""
+    df = run(spark, "curation_threshold_grid")
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    assert o.lower().count("parquet") == 1, o[:3000]
+    assert not _heavy_pushed_filters(df)
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p, p[:2000]
+
+    df = run(spark, "skipgram_negative_samples")
+    assert not _heavy_pushed_filters(df)
