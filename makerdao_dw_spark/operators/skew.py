@@ -62,3 +62,50 @@ def salted_agg(
             for name, (fn, _col) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big (skewed) side, replicate
+    the small side.
+
+    The at-scale problem: a shuffle join partitions the big side by
+    `key`, so a whale key (one customer holding a large share of all
+    fact rows) lands its entire row set on ONE reducer — the join runs
+    as slow as its hottest key no matter how many executors exist, and
+    AQE's skew splitting only helps sort-merge joins whose skewed
+    partitions it can see post-shuffle. The explicit fix:
+
+    - big side gains ``_salt = pmod(hash(salt_source), salt)`` — a
+      deterministic spread column derived from a high-cardinality
+      expression (pass the fact table's primary key; defaults to the
+      join key itself, which spreads NOTHING for a whale key, so real
+      callers always pass one), splitting the whale key's rows across
+      `salt` distinct shuffle keys;
+    - small side is replicated `salt` times via ``explode(sequence())``
+      (|small| x salt rows — the pattern's cost, which is why `salt`
+      stays O(10) and the small side is the dimension);
+    - the join key becomes ``(key, _salt)``: every shuffle partition of
+      the hot key holds ~1/salt of its rows, restoring parallelism.
+
+    Result rows are identical to the unsalted join (each big row still
+    meets exactly its matching small rows — once, under exactly one
+    salt value). Supports inner and left joins; right/full would need
+    unmatched-small-row dedup across replicas, so they are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_source is None:
+        salt_source = F.col(key)
+    big_s = big.withColumn("_salt", F.pmod(F.hash(salt_source), F.lit(salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

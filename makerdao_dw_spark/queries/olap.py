@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_join
 from ..session import configure, load_table, query_table
 from .registry import query
 
@@ -1128,4 +1129,72 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_n",
         F.round(F.col("max_n") / F.col("median_n"), 6).alias("skew_factor"),
         F.round(F.col("max_n").cast("double") / F.col("total_n"), 6).alias("top_key_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Whale-key (skewed) join: explicit salted join
+# --------------------------------------------------------------------------
+@query(
+    "whale_key_salted_join",
+    oracle="""
+WITH whale AS (
+    -- manufacture the pathology skew_profile_events diagnoses: ~90%
+    -- of all orders collapse onto customer 1 (a single whale key)
+    SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey ELSE 1 END AS c_custkey,
+           o_orderkey,
+           CAST(o_totalprice AS DECIMAL(38,4)) AS price
+    FROM orders WHERE o_custkey IS NOT NULL
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT w.c_custkey) AS n_customers,
+       SUM(w.price) AS total_price
+FROM whale w JOIN customer c ON w.c_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment NULLS FIRST
+""",
+    tags=("skew", "salting", "join", "B22"),
+)
+def whale_key_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed JOIN under a manufactured whale key: ~90% of orders are
+    remapped to customer 1, then joined to the customer dimension via
+    operators.skew.salted_join — the big side is salted by
+    pmod(hash(o_orderkey), 16) and the dimension replicated 16x, so the
+    whale customer's rows spread across 16 shuffle keys instead of
+    funneling through one reducer. The dimension side carries a
+    shuffle_hash hint to model the at-scale case (a dimension too big
+    to broadcast — with a broadcast join there is no key exchange and
+    no skew problem to solve); the plan's join exchanges hash on
+    (c_custkey, _salt), asserted in tests/test_plan_shape.py. Join
+    output is provably identical to the unsalted join (each fact row
+    matches its dimension row under exactly one salt), checked against
+    the plain unsalted DuckDB oracle. The companion whale-bounds test
+    (tests/test_whale_keys.py) drives a 1M-row single-key fact table
+    through salted_join and asserts no post-shuffle partition holds
+    more than ~2/salt of the whale's rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    whale = o.select(
+        F.when(F.col("o_custkey") % 10 == 0, F.col("o_custkey"))
+        .otherwise(F.lit(1))
+        .alias("c_custkey"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(38,4)").alias("price"),
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(
+        whale, dim, "c_custkey", salt=16, salt_source=F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum("price").alias("total_price"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
     )

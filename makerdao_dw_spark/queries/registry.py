@@ -107,6 +107,7 @@ DOUBLE_CAST: dict[str, tuple[str, ...]] = {
     "table_diff_snapshot": ("sum_price_v1", "sum_price_v2"),
     "topk_orders": ("total",),
     "union_typed_nulls": ("balance", "order_total"),
+    "whale_key_salted_join": ("total_price",),
     "window_cumulative": ("running_value",),
     "window_rank_lag": ("total",),
     "winsorize_values": ("winsorized_sum",),

@@ -959,3 +959,19 @@ def test_wave23_plan_hygiene(spark):
 
     df = run(spark, "skipgram_negative_samples")
     assert not _heavy_pushed_filters(df)
+
+
+def test_whale_join_exchanges_carry_salt(spark):
+    """whale_key_salted_join: the join must be a shuffled hash join
+    whose exchanges hash on (c_custkey, _salt) — the salt column in the
+    partitioning IS the skew fix (without it the whale key's 90% of
+    rows land in one reducer). Broadcast would make the demo vacuous:
+    assert it is absent from the join."""
+    p = plan_str(run(spark, "whale_key_salted_join"))
+    assert "ShuffledHashJoin" in p, p
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    salted = [e for e in exchanges if "c_custkey" in e and "_salt" in e]
+    assert len(salted) >= 2, exchanges  # both join sides
+    assert "BroadcastHashJoin" not in p.split("ShuffledHashJoin")[0], p

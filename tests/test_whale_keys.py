@@ -129,3 +129,72 @@ def test_sessionize_whale_completes_and_matches_oracle(spark, whale_dir):
     assert len(want) == len(rows)
     w1 = [r for r in want if r[0] == 1]
     assert len(w1) == 1 and w1[0][2] == N_WHALE
+
+
+def test_salted_join_spreads_whale_and_matches_unsalted(spark):
+    """salted_join (VERDICT r6 item 5): a 1M-row fact table whose
+    EVERY row carries the same join key — the pathological case where
+    a plain shuffle join puts the entire table in one reducer — must
+    (a) spread across many post-shuffle partitions with no partition
+    holding more than ~3/16 of the rows, and (b) return exactly the
+    unsalted join's rows for inner AND left joins."""
+    from makerdao_dw_spark.operators.skew import salted_join
+
+    n = 1_000_000
+    fact = spark.range(n).select(
+        F.lit(1).alias("k"), F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(1, "whale"), (2, "other")], "k long, label string"
+    ).hint("shuffle_hash")
+
+    # 64 shuffle partitions so the 16 salted keys don't stack purely
+    # from a tiny local partition count (at scale salt is sized to the
+    # cluster's reducer count the same way); AQE coalescing OFF so the
+    # observed partitions are the raw shuffle output. Murmur3 of
+    # (k, salt) is fixed, so the resulting layout is deterministic.
+    overrides = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        out = salted_join(fact, dim, "k", salt=16, salt_source=F.col("id"))
+        pid = out.select(F.spark_partition_id().alias("pid"))
+        counts = {r["pid"]: r["count"] for r in pid.groupBy("pid").count().collect()}
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+    assert sum(counts.values()) == n
+    # 16 salts hashed into 64 shuffle partitions: the whale must not
+    # funnel — at least 10 distinct partitions, none above 3x the ideal
+    # 1/16 share (hash collisions can stack 2 salts on one partition)
+    assert len(counts) >= 10, counts
+    assert max(counts.values()) <= 3 * n // 16, counts
+
+    # row identity vs the unsalted join (inner)
+    got = salted_join(fact, dim, "k", salt=16, salt_source=F.col("id")).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v"), F.countDistinct("label")
+    ).collect()[0]
+    want = fact.join(dim, "k").agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v"), F.countDistinct("label")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    # left join: unmatched fact rows survive exactly once
+    fact2 = fact.withColumn("k", F.when(F.col("id") % 2 == 0, 1).otherwise(3))
+    left = salted_join(fact2, dim, "k", salt=16, salt_source=F.col("id"), how="left")
+    got2 = left.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("label").isNull(), 1).otherwise(0)),
+    ).collect()[0]
+    assert tuple(got2) == (n, n // 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")
