@@ -38,6 +38,14 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     configured (cluster-survivable), localCheckpoint otherwise (fast,
     executor-local — fine for local[*] tests).
 
+    Deliberately NOT session.materialize (the round-7 persist+release
+    replacement for query-layer checkpoints): per-iteration frames here
+    are FRONTIER-sized, so building the columnar cache each round costs
+    more than it saves (measured on dedup_connected_components at
+    sf0.1: 1.33s with localCheckpoint vs 2.75s with persist), and the
+    small blocks don't meaningfully pile up across a long session the
+    way corpus-sized query intermediates did.
+
     The checkpoint dir itself is configured in `session.configure`
     (SPARK_GRAFT_CHECKPOINT_DIR) — never mutated here; and sessions built
     by `session.get_spark` enable

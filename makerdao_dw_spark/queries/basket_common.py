@@ -18,6 +18,8 @@ by basket width x frequent-item density, not corpus size).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..session import materialize
 from pyspark.sql import functions as F
 
 
@@ -49,13 +51,30 @@ def frequent_baskets(
         li.filter(F.col("l_partkey").isNotNull())
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     freq = (
         baskets.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_item"))
         .filter(F.col("n_item") >= min_item)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     fb = baskets.join(freq.select("p"), "p", "left_semi")
     return baskets, freq, fb
+
+
+def basket_pair_join(fb: DataFrame) -> DataFrame:
+    """The co-purchase pair self-join (b1.o = b2.o AND b1.p < b2.p),
+    sort-merge hinted.
+
+    The hint is load-bearing: `fb` bottoms out in a checkpointed scan
+    with no size statistics, so Catalyst guesses small and BROADCASTS
+    the entire fact-sized basket table as the build side — a driver
+    OOM waiting to happen at scale, and measured 2.5x slower than SMJ
+    at sf1 (11.4s vs 4.6s edge build). With the hint the two join
+    children are identical subtrees, so the planner emits ONE exchange
+    + a ReusedExchange: the pair join costs a single shuffle of fb."""
+    return fb.alias("b1").hint("merge").join(
+        fb.alias("b2"),
+        (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.p") < F.col("b2.p")),
+    )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 
 _t = query_table
@@ -227,7 +227,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         digits.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = F.broadcast(obs.agg(F.sum("n_obs").alias("n")))
     scored = obs.crossJoin(tot).select(

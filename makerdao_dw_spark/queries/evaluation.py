@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .similarity import _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
 
@@ -116,7 +116,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("q_label"),
             F.col("embedding").alias("qe"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     q = F.broadcast(panel)
     c = nz.select(

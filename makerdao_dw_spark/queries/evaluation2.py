@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .similarity import _dot_expr, _dot_sql_duckdb, _NORM_POS_DUCK
 from .text_common import ws_words_arr, ws_words_duck
@@ -89,7 +89,7 @@ def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a NULL precision. The prediction table is probe-sized, so both
     rollups and the full-outer class join are tiny at any corpus
     scale; it is checkpointed once for its two consumers."""
-    pred = knn_predictions(spark, sf_dir).localCheckpoint(eager=True)
+    pred = knn_predictions(spark, sf_dir).transform(materialize)
     corr = F.sum(F.when(F.col("correct"), 1).otherwise(0))
     t = pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).alias("support"), corr.alias("tp_t")
@@ -196,7 +196,7 @@ def cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         lab.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = F.broadcast(cells.agg(F.sum("n").alias("n_docs")))
     agree = F.broadcast(
@@ -311,7 +311,7 @@ def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_RRF_PROBE_CAP)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pairs = q.join(nz, F.col("query_id") != F.col("vec_id")).select(
         "query_id",

@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
-from .basket_common import basket_ctes_duck, frequent_baskets
+from ..session import materialize, query_table
+from .basket_common import basket_ctes_duck, basket_pair_join, frequent_baskets
 from .registry import query
 
 _t = query_table
@@ -120,7 +120,7 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.min("ts")).alias("first_d"),
             F.to_date(F.max("ts")).alias("last_d"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     anchor = F.broadcast(peruser.agg(F.max("last_d").alias("gmax")))
     spans = (
@@ -344,11 +344,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = (
-        b_freq.alias("b1")
-        .join(
-            b_freq.alias("b2"),
-            (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.p") < F.col("b2.p")),
-        )
+        basket_pair_join(b_freq)
         .select(F.col("b1.p").alias("p1"), F.col("b2.p").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_pair"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .experiments import _ARM_DUCK, _ARM_SPARK
 from .registry import query
 
@@ -152,7 +152,7 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(_DEC)
             .alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     gm = peruser.agg(
         F.count(F.lit(1)).alias("n"),

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 
 _t = query_table
@@ -135,7 +135,7 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("dA_dB")
             .alias("term"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     zero_d = F.lit(0).cast(_DEC)
     # rev_ivm = sum of the TAGGED terms (not SUM(rev)): the match flag
@@ -235,7 +235,7 @@ def zorder_morton_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Morton code is built FROM the buckets, each file's envelope is
     provably tight — the audit surface a layout job emits next to the
     rewrite. The 2-column (key, day) projection is materialized ONCE
-    (localCheckpoint) and feeds BOTH the bounds aggregate and the
+    (session.materialize) and feeds BOTH the bounds aggregate and the
     bucketizer — without it the bounds-then-bucketize dependency
     forces a second full parquet scan+decode of orders (the r6 curve
     showed exactly 2x a single scan); the checkpoint is ~5% of the
@@ -246,7 +246,7 @@ def zorder_morton_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .select("o_custkey", F.to_date("o_orderdate").alias("o_day"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     b = F.broadcast(
         o.agg(

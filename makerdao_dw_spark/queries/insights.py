@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
-from .basket_common import basket_ctes_duck, frequent_baskets
+from ..session import materialize, query_table
+from .basket_common import basket_ctes_duck, basket_pair_join, frequent_baskets
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck
 
@@ -302,44 +302,51 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     """Two synchronous label-propagation rounds over the co-purchase
     graph: round 1 collapses the unique-initial-label tie to the
     smallest neighbor id; round 2 is a genuine majority vote over the
-    round-1 labels (ties to the smallest label via a ROW_NUMBER
-    argmax). The cheap community splitter next to connected
-    components. Edge build reuses the apriori-gated basket pair join
-    (frequent items only, pair expansion bounded by basket width);
-    each round is one edge-label join + one vote aggregation — O(E)
-    data motion per round with no driver state, the LPA shape that
-    scales to any edge count. Both rounds (and the tie-breaks) unroll
-    into the DuckDB oracle. The basket build is the SHARED scaffold
+    round-1 labels (ties to the smallest label via a max(struct)
+    argmax — highest vote count, then smallest label via the negated
+    key, a hash aggregate with map-side partials instead of a
+    row_number window's partition sort). The cheap community splitter
+    next to connected components. Edge build reuses the apriori-gated
+    basket pair join (frequent items only, pair expansion bounded by
+    basket width; sort-merge hinted — see
+    basket_common.basket_pair_join for why the un-hinted plan
+    broadcasts the fact side). Only the u<v pair table is
+    materialized (half the edge volume); both directions derive
+    lazily from the checkpoint, so each vote round reads the 12M-row
+    checkpoint twice rather than re-running the pair join — O(E) data
+    motion per round with no driver state, the LPA shape that scales
+    to any edge count. Both rounds (and the tie-breaks) unroll into
+    the DuckDB oracle. The basket build is the SHARED scaffold
     (basket_common.py) — market_basket_lift mines the same graph."""
     li = _t(spark, sf_dir, "lineitem")
     _baskets, _freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
     pairs = (
-        fb.alias("b1")
-        .join(
-            fb.alias("b2"),
-            (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.p") < F.col("b2.p")),
-        )
+        basket_pair_join(fb)
         .select(F.col("b1.p").alias("u"), F.col("b2.p").alias("v"))
         .distinct()
+        .transform(materialize)
     )
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
     l1 = edges.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
     votes = (
         edges.join(l1.withColumnRenamed("node", "v"), "v")
         .groupBy(F.col("u").alias("node"), "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    wv = Window.partitionBy("node").orderBy(F.col("n_votes").desc(), "label")
     # node-cardinality result, TWO consumers (community sizes + the
     # join-back) — without the checkpoint the whole 24M-edge vote
     # chain runs twice (measured at sf1: 48s -> 18s)
     l2 = (
-        votes.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") == 1)
-        .select("node", "label")
-        .localCheckpoint(eager=True)
+        votes.groupBy("node")
+        .agg(
+            F.max(
+                F.struct(F.col("n_votes"), (-F.col("label")).alias("neg_label"))
+            ).alias("m")
+        )
+        .select("node", (-F.col("m.neg_label")).alias("label"))
+        .transform(materialize)
     )
     sizes = l2.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return (

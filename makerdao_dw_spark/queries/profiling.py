@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 
 _t = query_table
@@ -200,7 +200,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         e.groupBy("event_type")
         .agg(F.median("value").alias("med"), F.count("value").alias("n_vals"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dev = e.alias("e").join(
         F.broadcast(med.alias("m")),
@@ -215,7 +215,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = (
         dev.groupBy("event_type")
         .agg(F.median("adev").alias("mad"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     flagged = dev.alias("d").join(
         F.broadcast(mad.alias("m2")),
@@ -314,7 +314,7 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderpriority",
         "o_totalprice",
         F.expr(_SPLIT_SPARK).alias("sp"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     model = F.broadcast(
         base.filter(F.col("sp") <= 1)
         .groupBy("o_orderpriority")
@@ -340,7 +340,7 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
 
-    calib = resid(2).localCheckpoint(eager=True)  # count + rank select
+    calib = resid(2).transform(materialize)  # count + rank select
     w = Window.orderBy("r", "o_orderkey")
     # every piece below is a GLOBAL aggregate (exactly one row even on
     # empty inputs) so the final crossJoin chain can never lose the

@@ -34,12 +34,29 @@ REGISTRY: dict[str, Query] = {}
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
-    """Decorator registering a Spark query implementation."""
+    """Decorator registering a Spark query implementation.
+
+    The registered fn is wrapped to release the PREVIOUS query's
+    materialized intermediates (session.materialize keeps persisted
+    frames pinned so the returned plan's consumers can reuse them; the
+    next query's entry is the earliest safe point to drop them —
+    without the release, per-query caches accumulate across the
+    one-session-many-queries driver runs)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import release_materialized
+
+            release_materialized()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco

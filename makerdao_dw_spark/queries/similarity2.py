@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit_multi
-from ..session import configure, load_table
+from ..session import configure, load_table, materialize
 from .registry import query
 
 _PQ_M = 4  # subspaces
@@ -213,7 +213,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect + one mean collect per Lloyd iteration total, instead of
     # per subspace — per-codebook math identical to independent
     # trainings, so the unrolled per-subspace oracle is unchanged
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(materialize)
     cents = kmeans_fit_multi(
         e, [f"sv{s}" for s in range(_PQ_M)], "vec_id", k=_PQ_K,
         max_iter=_PQ_ITER,

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_agg
-from ..session import configure, load_table
+from ..session import configure, load_table, materialize
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck
 
@@ -364,7 +364,7 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes at 100 TB: the corpus is tokenized ONCE — everything hangs
     off the per-(doc, w1, w2) occurrence aggregate db2, which is
-    MATERIALIZED (eager localCheckpoint) before fan-out. Without it the
+    MATERIALIZED (session.materialize) before fan-out. Without it the
     probe, c2, c1 and V subtrees each re-run the bigram explode — the
     dominant cost (the explode is ~n_tokens rows; db2 is ~50x smaller)
     — and AQE's ReusedExchange cannot dedupe them (the probe side has
@@ -391,7 +391,7 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     db2 = (
         db.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("occ"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     c2 = db2.groupBy("w1", "w2").agg(F.sum("occ").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))

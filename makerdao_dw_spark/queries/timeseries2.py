@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 
 _t = query_table
@@ -199,7 +199,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     xy = (
         daily.crossJoin(F.broadcast(m0))
         .select(F.datediff("d", "d0").cast("bigint").alias("x"), "y")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     slopes = (
         xy.alias("a")

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.pca import centered_projection, power_iteration_pc1
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .text_common import ws_words_arr, ws_words_duck
 
@@ -237,14 +237,14 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term contributions are DECIMAL(38,12)-cast pre-sum (house
     determinism rule); q > 0 on every surviving row by construction.
 
-    The count table is materialized once (eager localCheckpoint — the
+    The count table is materialized once (session.materialize — the
     cms_heavy_hitters pattern): it feeds BOTH the broadcast corpus
     total and the enriched window pass, and Spark cannot dedupe a
     subtree consumed through a broadcast exchange — without the cut
     the whole tokenize pipeline runs twice. Measured rule from NOTES:
     checkpoint pays when the aggregate is much smaller than its input
     stream — vocab x sources vs the full token stream here."""
-    counts = _word_counts(spark, sf_dir).localCheckpoint(eager=True)
+    counts = _word_counts(spark, sf_dir).transform(materialize)
     tot = F.broadcast(counts.agg(F.sum("n").cast("double").alias("nn")))
     enr = counts.select(
         "source",

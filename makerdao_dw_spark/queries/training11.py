@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .text_common import ws_words_arr, ws_words_duck
 from .training9 import _IS_BATCH_DUCK, _IS_BATCH_SPARK
@@ -94,7 +94,7 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_ck = (
         o.groupBy(F.col("o_orderpriority").alias("pri"))
         .agg(F.sum(xd).alias("s"), F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     g = F.broadcast(g_ck)
     tot = F.broadcast(
@@ -242,7 +242,7 @@ def ks_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("cb"),
             F.sum(F.when(F.col("b"), 0).otherwise(1)).alias("cr"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = F.broadcast(per.agg(F.sum("cb").alias("nb"), F.sum("cr").alias("nr")))
     w_cum = Window.orderBy("x")
@@ -324,7 +324,7 @@ def session_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("monetary_d"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     anchor = F.broadcast(peruser.agg(F.max("last_ts").alias("gmax")))
     base = peruser.crossJoin(anchor).select(

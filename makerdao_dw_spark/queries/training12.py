@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck, ws_words_arr, ws_words_duck
 
@@ -214,7 +214,7 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w"))
         )
         .filter(F.col("rk") <= _SG_VOCAB)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     fwd = (
         toks.select(

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text_features import shingles_sql_duckdb
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .text_common import tokens_arr, tokens_arr_duck
 
@@ -101,7 +101,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _KEEP_PCT% (round-6 score, doc_id tie-break).
 
     Shapes at 100 TB: everything derives from ONE per-(doc, token)
-    count aggregate dw, materialized once (eager localCheckpoint —
+    count aggregate dw, materialized once (session.materialize —
     same rationale, measured, as lm_bigram_doc_score: the probe and
     both LM rollups would otherwise each re-run tokenize+explode). The
     LMs are vocab-sized (≪ corpus) and broadcast onto the probe; the
@@ -118,7 +118,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "lang", "w")
         .agg(F.count(F.lit(1)).alias("occ"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ct = (
         dw.filter(F.col("lang") == "en")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import query_table
+from ..session import materialize, query_table
 from .registry import query
 from .similarity import _dot_expr, _dot_sql_duckdb, _NORM_POS_DUCK
 from .text_common import tokens_arr, tokens_arr_duck
@@ -184,7 +184,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes at 100 TB: token counts are Zipf-aggregated FIRST (vocab
     rows, not corpus tokens) before the d-way explode, and the vocab
-    aggregate is materialized (eager localCheckpoint) before fanning
+    aggregate is materialized (session.materialize) before fanning
     out to its three consumers, so sketch construction costs ONE
     corpus tokenize + one (token) exchange + one tiny (j, bucket)
     rollup; the cell table is d*w = 256 rows and broadcast-joined back.
@@ -205,7 +205,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     hashed = vocab.select(
         "token", "n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")

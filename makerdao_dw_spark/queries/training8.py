@@ -44,7 +44,7 @@ from ..operators.text_features import (
     shingles_sql_duckdb,
     sorted_pairs_expr,
 )
-from ..session import query_table
+from ..session import materialize, query_table
 from .dedup import LSH_BUCKET_CAP, NUM_HASHES
 from .registry import query
 from .text_common import (
@@ -332,7 +332,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes at 100 TB: the corpus is scanned ONCE — signatures (16 ints
     per doc, ~1000x smaller than the text) are materialized via eager
-    localCheckpoint (the measured db2 pattern, NOTES round-6: five
+    materialize (the measured db2 pattern, NOTES round-6: five
     consumers — three band subtrees + both sides of the est join —
     would each re-shingle the corpus otherwise). Per config the band
     explode is map-side; buckets gate 1 < n <= LSH_BUCKET_CAP with a
@@ -344,7 +344,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = d.select("doc_id", shingles_expr("text").alias("sh")).select(
         "doc_id", minhash_signature("sh", NUM_HASHES).alias("sig")
     )
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(materialize)
 
     per_cfg = []
     for b, r in _SWEEP_CONFIGS:

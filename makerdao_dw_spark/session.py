@@ -195,6 +195,51 @@ def query_table(
     return load_table(spark, sf_dir, name, spread=spread)
 
 
+_MATERIALIZED: list[DataFrame] = []
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute a multi-consumer intermediate ONCE (persist +
+    count) — the house materialization for query-layer results with 2+
+    consumers (AQE cannot dedupe a subtree once one consumer broadcasts
+    it, so an unmaterialized 2-consumer frame runs its whole input
+    pipeline twice).
+
+    This replaced localCheckpoint(eager=True) in round 7: checkpoint
+    blocks are pinned until the RDD is garbage-collected and thus
+    ACCUMULATE across a long session — the driver runs every query in
+    one session, and the pile-up is measurable (LPA at sf1: run 1
+    24.6s -> run 3 53.8s with checkpoints; 22.7s -> 9.2s with
+    persist + release). Cached blocks are LRU-evictable under memory
+    pressure and are explicitly dropped by release_materialized() at
+    the next registered query's entry (queries/registry.py wraps every
+    query fn), so steady-state storage is one query's working set.
+
+    NOT a replacement where the checkpoint is load-bearing:
+    io/merge.py materializes before overwriting the files the plan
+    reads (an evicted cache block would re-read overwritten data), and
+    operators/graph.py's reliable-checkpoint path survives executor
+    loss on a real cluster. Those keep true checkpoints."""
+    df = df.persist()
+    df.count()
+    _MATERIALIZED.append(df)
+    return df
+
+
+def release_materialized() -> None:
+    """Unpersist every frame pinned by materialize() since the last
+    call. Invoked at query entry (not exit: the returned DataFrame's
+    consumers run after the query fn returns). Unpersisting a frame a
+    later consumer still references only costs recompute, never
+    correctness."""
+    while _MATERIALIZED:
+        df = _MATERIALIZED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table as a DataFrame keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
