@@ -253,6 +253,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KNN label classification over embeddings
 # --------------------------------------------------------------------------
 _KNN_K = 5
+# Probe panel bound: probes are vec_id % 25 == 0 AND vec_id < this cap,
+# i.e. a FIXED-SIZE labeled seed panel (<= 400 probes) no matter how big
+# the corpus grows. Without the cap the probe count scaled WITH the
+# corpus, making brute-force KNN O(n^2) — the round-7 second-decade
+# measurement caught it at 75x wall for 10x data (sf1 -> sf10). A real
+# curation pipeline's seed set is fixed while the corpus grows; this
+# pins that semantics and makes the scan linear (fixed panel broadcast
+# x one corpus pass).
+_KNN_PROBE_CAP = 10_000
 
 # The full KNN prediction pipeline as a reusable CTE prefix: downstream
 # evaluation queries (classifier_eval_f1, queries/evaluation2.py) chain
@@ -263,7 +272,7 @@ WITH nz AS (
     SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
 ), q AS (
     SELECT vec_id AS query_id, label AS true_label, embedding AS qv
-    FROM nz WHERE vec_id % 25 = 0
+    FROM nz WHERE vec_id % 25 = 0 AND vec_id < {_KNN_PROBE_CAP}
 ), c AS (
     SELECT vec_id AS neighbor_id, label AS nlabel, embedding AS cv
     FROM nz WHERE vec_id % 25 <> 0
@@ -302,7 +311,9 @@ def knn_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     ).filter(F.col("nrm") > 0)
     q = F.broadcast(
-        nz.filter(F.col("vec_id") % 25 == 0).select(
+        nz.filter(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < _KNN_PROBE_CAP)
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("true_label"),
             F.col("embedding").alias("qv"),
@@ -351,16 +362,21 @@ def knn_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("training", "similarity", "knn", "classifier"),
 )
 def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KNN label prediction: for each probe vector (vec_id % 25 = 0),
-    majority vote of its 5 cosine-nearest TRAIN vectors (the disjoint
-    rest of the corpus); ties break to the smaller label. Emits the
-    per-probe prediction and correctness — the embedding-seed-set
-    quality classifier of a curation pipeline, evaluated in-engine.
+    """KNN label prediction: for each probe in a FIXED labeled seed
+    panel (vec_id % 25 = 0, capped at vec_id < 10k — <= 400 probes at
+    any corpus size), majority vote of its 5 cosine-nearest TRAIN
+    vectors (the disjoint rest of the corpus); ties break to the
+    smaller label. Emits the per-probe prediction and correctness —
+    the embedding-seed-set quality classifier of a curation pipeline,
+    evaluated in-engine.
 
-    Shapes at 100 TB: probes are the small labeled side and broadcast
-    (never shuffle the corpus by probe); scoring is map-only over the
-    corpus, top-k is a per-probe aggregation of k rows, and the vote
-    rollup is O(probes * k). Swap the scored CTE for any registered ANN
+    Shapes at 100 TB: the panel is fixed-size and broadcast (never
+    shuffle the corpus by probe); scoring is ONE map-only corpus pass,
+    top-k is a per-probe aggregation of k rows, and the vote rollup is
+    O(probes * k) — total work linear in the corpus. The cap is
+    load-bearing: an uncapped % 25 panel grows with the corpus and
+    makes brute-force KNN O(n^2) (measured 75x wall at 10x data before
+    the round-7 fix). Swap the scored CTE for any registered ANN
     shortlist (IVF/SRP) to trade exactness for a bucketed probe —
     output contract unchanged."""
     return knn_predictions(spark, sf_dir).orderBy("query_id")

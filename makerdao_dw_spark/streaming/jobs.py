@@ -38,6 +38,13 @@ from .sources import stream_table
 _SEQ = itertools.count()
 
 
+# Final-micro-batch state-store row count of the most recent _drain,
+# keyed by the caller-visible query function name. Observability only
+# (tools/bench_streaming_scale.py reads it to verify the bounded-state
+# claim at growing input sizes); no query logic depends on it.
+LAST_STATE_ROWS: dict[str, int] = {}
+
+
 def _drain(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with AvailableNow and
     return the sink table. Unique query names allow repeated invocation
@@ -57,6 +64,11 @@ def _drain(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
         raise TimeoutError(
             f"streaming drain {name!r} did not finish in {timeout_s}s — "
             "refusing to return a partially-filled sink table"
+        )
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        LAST_STATE_ROWS[name] = sum(
+            op.get("numRowsTotal", 0) for op in prog["stateOperators"]
         )
     q.stop()
     return sdf.sparkSession.table(name)
