@@ -49,11 +49,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     configure(spark)
     d = load_table(spark, sf_dir, "documents", spread=True)
+    # one regex pass (split on non-letter runs) — token-identical to the
+    # oracle's replace+split, ~20% cheaper (text_common.tokens_arr note)
     toks = d.select(
         "doc_id",
-        F.explode(
-            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " ")
-        ).alias("term"),
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
     ).filter(F.length("term") >= 3)
     terms = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # docfreq = plain count over the already-unique (doc_id, term) rows,
