@@ -336,21 +336,70 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     platform reads BEFORE choosing withWatermark() (too tight drops
     that fraction of data; too loose holds state). Lateness in integer
     seconds from integer-microsecond math; exact interpolated
-    percentiles (identical IEEE both engines). The running-max window
-    partitions by type — never a global arrival sort; untimestamped
-    rows have no event time to be late by (excluded). NULL event_type
-    is a real group on both engines."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = (
+    percentiles (identical IEEE both engines).
+
+    The running max is SHARDED (the concurrency_sweepline decomposition
+    from SCALE.md): a plain per-type window has event-type cardinality
+    (~5) as its ONLY parallelism, so one task sorts the whole type — the
+    round-7 second-decade run caught it steepening (3.7x first decade,
+    11.4x second). Instead: (1) per-(type, arrival-shard) max — a tiny
+    map-combined rollup; (2) exclusive prefix-max across shard maxima
+    (shard-cardinality window); (3) the within-shard running max windows
+    on (type, shard) — parallelism = types x shards — merged with the
+    broadcast shard offsets via greatest(). Exact: shard id is monotone
+    in arrival order, so prefix(prev shards) + within-shard prefix IS
+    the full prefix. Untimestamped rows have no event time to be late
+    by (excluded); NULL event_type is a real group on both engines."""
+    shard_rows = 1 << 20  # arrival-ids per shard; ~n/1M shards per type
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("event_id") / shard_rows).alias("shard"),
+        )
+    )
+    shard_max = ev.groupBy("event_type", "shard").agg(F.max("ts").alias("sh_max"))
+    w_prev = (
         Window.partitionBy("event_type")
-        .orderBy("event_id")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = F.broadcast(
+        shard_max.select(
+            "event_type", "shard", F.max("sh_max").over(w_prev).alias("prev_hw")
+        )
+    )
+    w_sh = (
+        Window.partitionBy(F.col("e.event_type"), F.col("e.shard"))
+        .orderBy(F.col("e.event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    late = ev.select(
-        "event_type",
-        F.floor(
-            (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")) / 1000000
-        ).alias("late_s"),
+    # null-safe keys: NULL event_type is a real lateness group and a
+    # NULL event_id yields a NULL shard — plain join equality would
+    # silently drop their shard offsets
+    late = (
+        ev.alias("e")
+        .join(
+            offs.alias("o"),
+            F.expr("e.event_type <=> o.event_type AND e.shard <=> o.shard"),
+            "left",
+        )
+        .select(
+            F.col("e.event_type").alias("event_type"),
+            F.floor(
+                (
+                    F.unix_micros(
+                        # greatest() skips NULLs: first shard has no prev_hw
+                        F.greatest(F.max(F.col("e.ts")).over(w_sh), F.col("o.prev_hw"))
+                    )
+                    - F.unix_micros(F.col("e.ts"))
+                )
+                / 1000000
+            ).alias("late_s"),
+        )
     )
     return (
         late.groupBy("event_type")

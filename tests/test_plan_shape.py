@@ -939,8 +939,15 @@ def test_wave21_plan_hygiene(spark):
     p = plan_str(df)
     assert "SortMergeJoin" not in p, p[:2000]
 
+    # round 7: the sharded running max reads the pruned events scan
+    # twice (per-shard maxima subtree + the windowed pass) — the tiny
+    # map-combined rollup is cheaper than caching a corpus-sized frame,
+    # and the shard offsets must broadcast, never shuffle the events
     df = run(spark, "watermark_lateness_audit")
-    assert live_scans(df) == 1, leaf_names(df)
+    assert live_scans(df) == 2, leaf_names(df)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
 
 
 def test_wave22_plan_hygiene(spark):
