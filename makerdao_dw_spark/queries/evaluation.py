@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..session import materialize, query_table
 from .registry import query
-from .similarity import _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
+from .similarity import PROBE_ID_CAP, _cos_duck, _cos_spark, _NORM_POS_DUCK, _dot_expr
 
 _EVAL_K = 5
 _PROBE_MOD = 25
@@ -48,7 +48,7 @@ _IDCG_SQL = (
 WITH nz AS (
     SELECT vec_id, label, embedding FROM embeddings WHERE {_NORM_POS_DUCK}
 ),
-q AS (SELECT * FROM nz WHERE vec_id % {_PROBE_MOD} = 0
+q AS (SELECT * FROM nz WHERE vec_id % {_PROBE_MOD} = 0 AND vec_id < {PROBE_ID_CAP}
       ORDER BY vec_id LIMIT {_PROBE_CAP}),
 pairs AS (
     SELECT q.vec_id AS query_id, q.label AS q_label,
@@ -108,7 +108,9 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 200-row probe panel has two consumers (pair build + the
     # keep-every-probe left join) — checkpoint once
     panel = (
-        nz.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        nz.filter(
+            (F.col("vec_id") % _PROBE_MOD == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+        )
         .orderBy("vec_id")
         .limit(_PROBE_CAP)
         .select(

@@ -61,12 +61,24 @@ _SIM_DUCK = _cos_duck("a.embedding", "b.embedding")
 # vectors explicitly ON BOTH ENGINES. A no-op on non-degenerate corpora.
 _NORM_POS_DUCK = f"{_dot_sql_duckdb('embedding', 'embedding')} > 0"
 
+# Probe-panel bound shared by every ANN *search* query (brute-force,
+# IVF, SRP-LSH, quantized rescore, PQ-ADC, retrieval eval): probes are
+# vec_id % MOD == 0 AND vec_id < PROBE_ID_CAP — a FIXED-SIZE query
+# panel no matter how big the indexed corpus grows. Without the cap the
+# panel was a fixed FRACTION of the corpus, so "probe x corpus" work
+# was O(n^2) by construction: the round-7 sf10 run measured
+# ann_bruteforce_topk at 98x wall for 10x data (194.8s). Search
+# workloads are queries-vs-index, not corpus-vs-corpus — the near-dup
+# DEDUP queries (all-pairs within buckets) are the deliberate
+# exception and keep their corpus-wide pair generation.
+PROBE_ID_CAP = 10_000
+
 
 @query(
     "ann_bruteforce_topk",
     oracle=f"""
 WITH nz AS (SELECT vec_id, embedding FROM embeddings WHERE {_NORM_POS_DUCK}),
-q AS (SELECT vec_id, embedding FROM nz WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id, embedding FROM nz WHERE vec_id % 100 = 0 AND vec_id < {PROBE_ID_CAP}),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            {_cos_duck('q.embedding', 'c.embedding')} AS cosine
@@ -92,7 +104,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     ).filter(F.col("nrm") > 0)
     q = F.broadcast(
-        nz.filter(F.col("vec_id") % 100 == 0).select(
+        nz.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("nrm").alias("qn"),
@@ -124,7 +138,7 @@ SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_SIM_DUCK} AS cosine
 FROM nz a
 JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE a.vec_id % 25 = 0
+WHERE a.vec_id % 25 = 0 AND a.vec_id < {PROBE_ID_CAP}
   AND {_SIM_DUCK} >= 0.2
 ORDER BY bucket, vec_a, vec_b
 """,
@@ -137,7 +151,9 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = e.withColumn(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     ).filter(F.col("nrm") > 0)
-    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    a = en.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+    ).alias("a")
     b = en.alias("b")
     sim = F.round(
         F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
@@ -214,7 +230,7 @@ WITH bucketed AS (
            {_SIM_DUCK} AS cosine
     FROM bucketed a
     JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    WHERE a.vec_id % 25 = 0
+    WHERE a.vec_id % 25 = 0 AND a.vec_id < {PROBE_ID_CAP}
 )
 SELECT bucket, query_id, neighbor_id, cosine, rk FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
@@ -248,7 +264,9 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_srp_bucket_spark("embedding")).alias("bucket"),
         F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("nrm"),
     ).filter(F.col("nrm") > 0)
-    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    a = en.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+    ).alias("a")
     b = en.alias("b")
     sim = F.round(
         F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
@@ -419,7 +437,7 @@ SELECT a.cluster AS list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) AS cosine
 FROM scored a JOIN scored b
   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE a.vec_id % 25 = 0
+WHERE a.vec_id % 25 = 0 AND a.vec_id < {PROBE_ID_CAP}
   AND ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) >= 0.2
 ORDER BY list_id, vec_a, vec_b
 """
@@ -453,7 +471,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = assign_clusters(e, "embedding", centroids).withColumn(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     )
-    a = en.filter(F.col("vec_id") % 25 == 0).alias("a")
+    a = en.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+    ).alias("a")
     b = en.alias("b")
     sim = F.round(
         F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 6
@@ -658,7 +678,7 @@ cand AS (
            ROUND({_int_dot_duck('a.q', 'b.q')} / (a.scale * b.scale), 6) AS approx_dot
     FROM qv a JOIN qv b
       ON a.label = b.label AND a.vec_id <> b.vec_id
-    WHERE a.vec_id % 50 = 0
+    WHERE a.vec_id % 50 = 0 AND a.vec_id < {PROBE_ID_CAP}
 ), shortlist AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY approx_dot DESC, neighbor_id) AS crk
@@ -708,7 +728,9 @@ def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("av"),
         F.col("q").alias("qa"),
         F.col("scale").alias("sa"),
-    ).filter(F.col("query_id") % 50 == 0)
+    ).filter(
+        (F.col("query_id") % 50 == 0) & (F.col("query_id") < PROBE_ID_CAP)
+    )
     b = qv.select(
         F.col("vec_id").alias("neighbor_id"),
         "label",

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit_multi
 from ..session import configure, load_table, materialize
 from .registry import query
+from .similarity import PROBE_ID_CAP
 
 _PQ_M = 4  # subspaces
 _PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
@@ -131,7 +132,7 @@ def _pq_subspace_ctes(s: int) -> str:
         f"""pd_{s} AS (
     SELECT t.vec_id AS query_id, c.cluster, {d_t} AS d
     FROM vs{s} t CROSS JOIN {prev} c
-    WHERE t.vec_id % {_PROBE_MOD} = 0
+    WHERE t.vec_id % {_PROBE_MOD} = 0 AND t.vec_id < {PROBE_ID_CAP}
 )"""
     )
     return ",\n".join(parts)
@@ -229,7 +230,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"code{s}") for s in range(_PQ_M)],
     )
     probes = F.broadcast(
-        codes.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        codes.filter(
+            (F.col("vec_id") % _PROBE_MOD == 0) & (F.col("vec_id") < PROBE_ID_CAP)
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             *[
