@@ -16,8 +16,22 @@ parallel sum).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _reject_salt_column(df: DataFrame, side: str) -> None:
+    """The internal spread column would silently OVERWRITE (withColumn
+    replaces) and then consume a caller's same-named column — refuse
+    loudly instead."""
+    if "_salt" in df.columns:
+        raise ValueError(
+            f"{side} input already has a '_salt' column — the salting "
+            "operators use that name internally and would clobber it; "
+            "rename the caller's column first"
+        )
 
 # (partial_agg, final_merge) builders per supported aggregate
 _MERGES = {
@@ -49,6 +63,7 @@ def salted_agg(
     for name, (fn, _col) in aggs.items():
         if fn not in _MERGES:
             raise ValueError(f"{name}: {fn!r} is not an algebraic aggregate {sorted(_MERGES)}")
+    _reject_salt_column(df, "salted_agg")
     salted = df.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
@@ -101,7 +116,16 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    _reject_salt_column(big, "salted_join big")
+    _reject_salt_column(small, "salted_join small")
     if salt_source is None:
+        warnings.warn(
+            "salted_join: salt_source defaulted to the join key — "
+            "pmod(hash(key)) assigns a whale key's rows ONE salt value, "
+            "spreading nothing; pass a high-cardinality column (e.g. the "
+            "fact table's primary key) to actually split hot keys",
+            stacklevel=2,
+        )
         salt_source = F.col(key)
     big_s = big.withColumn("_salt", F.pmod(F.hash(salt_source), F.lit(salt)))
     small_s = small.withColumn(

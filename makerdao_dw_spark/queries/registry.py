@@ -32,6 +32,15 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Registered-query nesting depth (thread-local: concurrent driver
+# threads each see their own depth). release_materialized() must run
+# only at TOP-LEVEL query entry — a registered query invoked through
+# REGISTRY from inside another (composite pipelines) must not unpersist
+# the outer query's pinned frames mid-flight.
+import threading as _threading
+
+_DEPTH = _threading.local()
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
     """Decorator registering a Spark query implementation.
@@ -41,7 +50,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     frames pinned so the returned plan's consumers can reuse them; the
     next query's entry is the earliest safe point to drop them —
     without the release, per-query caches accumulate across the
-    one-session-many-queries driver runs)."""
+    one-session-many-queries driver runs). The release is skipped for
+    NESTED invocations (see _DEPTH above)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -50,8 +60,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from ..session import release_materialized
 
-            release_materialized()
-            return fn(spark, sf_dir)
+            depth = getattr(_DEPTH, "v", 0)
+            if depth == 0:
+                release_materialized()
+            _DEPTH.v = depth + 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _DEPTH.v = depth
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

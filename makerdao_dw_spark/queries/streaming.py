@@ -137,12 +137,16 @@ SELECT event_id, ts, user_id, event_type, value, props
 FROM events
 ORDER BY event_id
 """,
-    tags=("streaming", "dedup", "exactly-once"),
+    tags=("streaming", "dedup", "exactly-once", "bounded-state"),
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream unioned with itself (every row twice) must come out
-    exactly once via stateful dropDuplicates on event_id. Deterministic
-    because every column is functionally determined by event_id."""
+    exactly once via ``dropDuplicatesWithinWatermark`` on event_id —
+    the bounded-state form (key state expires past the 1h watermark
+    horizon instead of growing one row per distinct key forever).
+    Deterministic because every column is functionally determined by
+    event_id and the AvailableNow drain delivers both union legs in
+    one micro-batch (see run_stream_dedup)."""
     return run_stream_dedup(spark, sf_dir)
 
 

@@ -47,18 +47,25 @@ def norm_hash(col: str = "text") -> Column:
 # one pipeline.
 
 def tokens_arr(col: str = "text", min_len: int = 2) -> Column:
-    """Filtered token ARRAY (Spark): lowercased maximal letter runs of
-    length >= min_len.
+    """Filtered token ARRAY (Spark): lowercased maximal ASCII-letter
+    runs of length >= min_len.
 
-    Formulated as ONE regex split on non-letter runs — token-for-token
-    identical to the duck twin's replace-then-split (both yield maximal
-    [a-z]+ runs; edge empties drop in the length filter; equality
-    hash-verified on the corpus) but ~20% faster: the old
-    regexp_replace([^a-zA-Z ])+split(' ') made two engine passes over
-    every byte of text, the hot stage of every tokenize-bound query."""
-    return F.filter(
-        F.split(F.lower(col), "[^a-z]+"),
-        lambda t: F.length(t) >= min_len,
+    Formulated as ONE regex split on non-[A-Za-z] runs over the RAW
+    text, then per-token lowercase — token-for-token identical to the
+    duck twin's replace-then-split for ALL input including non-ASCII:
+    both engines delete non-ASCII letters BEFORE any case folding.
+    (The r7 lower-then-split spelling diverged on characters whose
+    lowercase maps INTO [a-z] — 'İ' -> 'i'+U+0307 minted an extra 'i'
+    token, Kelvin sign U+212A became a 'k' — because Spark folded
+    before deleting while DuckDB deleted before folding; pinned by
+    test_review_fixes.test_tokens_arr_non_ascii_cross_engine.)
+    Still one regex pass over every byte (the split); the lower()
+    runs only over kept letter runs. Edge empties drop in the length
+    filter, which is case-invariant for ASCII runs, so filtering
+    before lowering is safe and cheaper."""
+    return F.transform(
+        F.filter(F.split(col, "[^a-zA-Z]+"), lambda t: F.length(t) >= min_len),
+        F.lower,
     )
 
 

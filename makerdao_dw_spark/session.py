@@ -10,6 +10,7 @@ engines and clusters.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -196,6 +197,7 @@ def query_table(
 
 
 _MATERIALIZED: list[DataFrame] = []
+_MATERIALIZED_LOCK = threading.RLock()
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -222,18 +224,25 @@ def materialize(df: DataFrame) -> DataFrame:
     loss on a real cluster. Those keep true checkpoints."""
     df = df.persist()
     df.count()
-    _MATERIALIZED.append(df)
+    with _MATERIALIZED_LOCK:
+        _MATERIALIZED.append(df)
     return df
 
 
 def release_materialized() -> None:
     """Unpersist every frame pinned by materialize() since the last
-    call. Invoked at query entry (not exit: the returned DataFrame's
-    consumers run after the query fn returns). Unpersisting a frame a
-    later consumer still references only costs recompute, never
-    correctness."""
-    while _MATERIALIZED:
-        df = _MATERIALIZED.pop()
+    call. Invoked at the NEXT registered query's entry (not this one's
+    exit: the returned DataFrame's consumers run after the query fn
+    returns), and ONLY for top-level invocations — the registry wrapper
+    skips the release when a registered query is invoked from inside
+    another (queries/registry.py tracks nesting), so an outer query's
+    pinned frames are never dropped mid-flight. The list and its
+    release are lock-guarded for concurrent drivers; a frame unpersisted
+    while a straggler consumer still references it only costs recompute,
+    never correctness (all lineages are deterministic)."""
+    with _MATERIALIZED_LOCK:
+        frames, _MATERIALIZED[:] = list(_MATERIALIZED), []
+    for df in frames:
         try:
             df.unpersist()
         except Exception:

@@ -182,3 +182,35 @@ def test_norm_hash_twins_identical(spark):
     ]
     con.close()
     assert got == want, list(zip(texts, got, want))
+
+
+def test_tokens_arr_non_ascii_cross_engine(spark):
+    """tokens_arr vs tokens_arr_duck must be token-identical on
+    NON-ASCII input (r8 advice): case folding must never run before the
+    letter-class delete. 'İ' lowercases to 'i'+U+0307 (would mint an
+    extra 'i' token), Kelvin sign U+212A lowercases to 'k', 'ß' to
+    'ss' — all must be DELETED like the duck twin deletes them, not
+    folded into tokens."""
+    import duckdb
+
+    from makerdao_dw_spark.queries.text_common import tokens_arr, tokens_arr_duck
+
+    texts = [
+        "İstanbul is big",            # dotted capital I
+        "temp 300K outside",     # Kelvin sign -> would fold to 'k'
+        "straße and STRASSE",         # sharp s
+        "naïve café crème",           # folding keeps non-ASCII -> deleted
+        "ALL CAPS and MiXeD",         # pure-ASCII sanity
+        "",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in sdf.select(tokens_arr("text")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT {tokens_arr_duck('text')} FROM (SELECT ? AS text)", params=[t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert got == want, list(zip(texts, got, want))
