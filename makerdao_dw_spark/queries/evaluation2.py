@@ -38,7 +38,12 @@ from ..session import materialize, query_table
 from .registry import query
 from .similarity import _dot_expr, _dot_sql_duckdb, _NORM_POS_DUCK
 from .text_common import ws_words_arr, ws_words_duck
-from .training6 import KNN_PRED_CTES, knn_predictions
+from .training6 import (
+    KNN_ANN_PRED_CTES,
+    KNN_PRED_CTES,
+    knn_predictions,
+    knn_predictions_ann,
+)
 
 _t = query_table
 
@@ -47,19 +52,21 @@ _t = query_table
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "classifier_eval_f1",
-    oracle=KNN_PRED_CTES
-    + """,
+def _f1_eval_sql(pred_cte: str) -> str:
+    """The per-class P/R/F1 rollup over a prediction CTE with columns
+    (query_id, true_label, pred_label, n_votes, correct) — shared by
+    the exact and ANN-shortlist evaluators so the metric definition
+    cannot drift between them."""
+    return f""",
 t AS (
     SELECT true_label AS label, COUNT(*) AS support,
            SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS tp_t
-    FROM knn_pred GROUP BY true_label
+    FROM {pred_cte} GROUP BY true_label
 ),
 p AS (
     SELECT pred_label AS label, COUNT(*) AS n_pred,
            SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS tp_p
-    FROM knn_pred GROUP BY pred_label
+    FROM {pred_cte} GROUP BY pred_label
 )
 SELECT COALESCE(t.label, p.label) AS label,
        CAST(COALESCE(t.support, 0) AS BIGINT) AS support,
@@ -76,20 +83,11 @@ SELECT COALESCE(t.label, p.label) AS label,
            AS f1
 FROM t FULL JOIN p ON t.label = p.label
 ORDER BY label
-""",
-    tags=("evaluation", "classifier", "f1", "knn"),
-)
-def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class precision/recall/F1 + support for the KNN label
-    classifier, over the SAME predictions `knn_label_classifier`
-    emits (shared pipeline — training6.knn_predictions). tp comes
-    equivalently from either rollup (a correct row has true = pred);
-    fp = predicted-not-true, fn = true-not-predicted; F1 folded to
-    2*tp / (n_pred + support), the algebraic form that never divides
-    by a NULL precision. The prediction table is probe-sized, so both
-    rollups and the full-outer class join are tiny at any corpus
-    scale; it is checkpointed once for its two consumers."""
-    pred = knn_predictions(spark, sf_dir).transform(materialize)
+"""
+
+
+def _f1_eval_spark(pred: DataFrame) -> DataFrame:
+    """Spark twin of _f1_eval_sql over a materialized prediction frame."""
     corr = F.sum(F.when(F.col("correct"), 1).otherwise(0))
     t = pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).alias("support"), corr.alias("tp_t")
@@ -124,6 +122,43 @@ def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "classifier_eval_f1",
+    oracle=KNN_PRED_CTES + _f1_eval_sql("knn_pred"),
+    tags=("evaluation", "classifier", "f1", "knn"),
+)
+def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + support for the KNN label
+    classifier, over the SAME predictions `knn_label_classifier`
+    emits (shared pipeline — training6.knn_predictions). tp comes
+    equivalently from either rollup (a correct row has true = pred);
+    fp = predicted-not-true, fn = true-not-predicted; F1 folded to
+    2*tp / (n_pred + support), the algebraic form that never divides
+    by a NULL precision. The prediction table is probe-sized, so both
+    rollups and the full-outer class join are tiny at any corpus
+    scale; it is checkpointed once for its two consumers."""
+    pred = knn_predictions(spark, sf_dir).transform(materialize)
+    return _f1_eval_spark(pred)
+
+
+@query(
+    "classifier_eval_f1_ann",
+    oracle=KNN_ANN_PRED_CTES + _f1_eval_sql("knn_ann_pred"),
+    tags=("evaluation", "classifier", "f1", "knn", "ann", "ivf"),
+)
+def classifier_eval_f1_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classifier_eval_f1's 100 TB scale path: the identical per-class
+    P/R/F1 rollup (shared _f1_eval_spark / _f1_eval_sql — the metric
+    cannot drift) over the IVF-shortlisted predictions of
+    knn_label_classifier_ann instead of the exact panel x full-corpus
+    scoring. The eval is probe-sized either way; what changes at scale
+    is the prediction pass underneath (nprobe/k of the corpus instead
+    of all of it — 40.3 s of exact scoring at sf10 was the measured
+    bottleneck of this query, BENCH_sf10_r7.json)."""
+    pred = knn_predictions_ann(spark, sf_dir).transform(materialize)
+    return _f1_eval_spark(pred)
 
 
 # ---------------------------------------------------------------------------

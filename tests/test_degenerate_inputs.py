@@ -33,6 +33,10 @@ SKIP_EMPTY = {
     "ann_ivf_kmeans",
     "semdedup_kmeans_prune",
     "ann_pq_adc",  # 4 subspace codebooks, k=16 each (needs >= 16 vectors) — same kmeans_fit raise
+    # IVF-shortlist KNN: same k=8 kmeans_fit raise (exact siblings
+    # knn_label_classifier / classifier_eval_f1 still sweep clean)
+    "knn_label_classifier_ann",
+    "classifier_eval_f1_ann",
 }
 
 
