@@ -34,13 +34,19 @@ from makerdao_dw_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Reference calibration time on the round-6 build box (steady-state
-# _calibration_run at 400M rows, local[32]; observed 0.75-0.90 across
-# repeated batches, median ~0.84). value_normalized is the raw total
-# rescaled as if the suite had run on a host exactly this fast; the
-# constant only anchors the unit and never needs re-tuning unless the
-# calibration WORKLOAD changes.
-CALIBRATION_REF_SEC = 0.80
+# Reference calibration time on the build box under the MEDIAN
+# estimator (steady-state _calibration_run at 400M rows, local[32]:
+# samples 0.75-0.90, median 0.84 over a 15-sample round-8 session).
+# value_normalized is the raw total rescaled as if the suite had run on
+# a host exactly this fast. UNIT BREAK at round 8: rounds <= 7 used
+# ref 0.80 with a min-of-N estimator — min picks turbo flukes (the r7
+# artifact divided by a 0.721 s sample and moved normalized OPPOSITE to
+# raw), so r8+ normalized values are not unit-identical to r7's; the
+# artifact carries `estimator` so cross-round readers can tell. The
+# constant never needs re-tuning unless the calibration WORKLOAD or the
+# estimator changes again.
+CALIBRATION_REF_SEC = 0.84
+CALIBRATION_ESTIMATOR = "median-of-2x5"
 
 
 def _calibration_run(spark) -> float:
@@ -142,6 +148,7 @@ def main() -> None:
                     "end_median_sec": round(statistics.median(calib_end), 3),
                     "session_median_sec": round(calib, 3),
                     "ref_sec": CALIBRATION_REF_SEC,
+                    "estimator": CALIBRATION_ESTIMATOR,
                 },
                 "value_normalized": round(total * CALIBRATION_REF_SEC / calib, 3),
             }

@@ -225,7 +225,7 @@ def materialize(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
     with _MATERIALIZED_LOCK:
-        _MATERIALIZED.append(df)
+        _MATERIALIZED.append((threading.get_ident(), df))
     return df
 
 
@@ -236,13 +236,19 @@ def release_materialized() -> None:
     returns), and ONLY for top-level invocations — the registry wrapper
     skips the release when a registered query is invoked from inside
     another (queries/registry.py tracks nesting), so an outer query's
-    pinned frames are never dropped mid-flight. The list and its
-    release are lock-guarded for concurrent drivers; a frame unpersisted
-    while a straggler consumer still references it only costs recompute,
-    never correctness (all lineages are deterministic)."""
+    pinned frames are never dropped mid-flight on the same thread.
+    Frames are owner-tagged by thread: a concurrent driver thread's
+    release drops only ITS OWN pinned frames, never another thread's
+    in-flight materialization (which would silently void the
+    single-build guarantee and recompute the upstream once per
+    consumer). A frame unpersisted while a straggler consumer still
+    references it only costs recompute, never correctness (all lineages
+    are deterministic)."""
+    me = threading.get_ident()
     with _MATERIALIZED_LOCK:
-        frames, _MATERIALIZED[:] = list(_MATERIALIZED), []
-    for df in frames:
+        mine = [df for owner, df in _MATERIALIZED if owner == me]
+        _MATERIALIZED[:] = [(o, df) for o, df in _MATERIALIZED if o != me]
+    for df in mine:
         try:
             df.unpersist()
         except Exception:

@@ -144,15 +144,10 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_dedup_state_r8.json"))
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from makerdao_dw_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "48g")
-        .getOrCreate()
-    )
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark("bench-dedup-state")
     spark.sparkContext.setLogLevel("ERROR")
     result: dict = {"files_per_stream": args.files, "watermark_horizon": "1 hour"}
     try:
