@@ -34,6 +34,7 @@ from ..operators.text_features import (
 )
 from ..session import configure, load_table
 from .registry import query
+from .similarity import _srp_bucket_duck, _srp_bucket_spark
 from .text_common import NORM_HASH_DUCK, norm_hash
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
@@ -331,9 +332,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
 WITH nz AS (
-    SELECT vec_id, label, embedding FROM embeddings
+    SELECT vec_id, label, embedding,
+           {_srp_bucket_duck('embedding')} AS srp
+    FROM embeddings
     WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(generate_series(1, 64),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
@@ -354,7 +357,7 @@ WITH nz AS (
                (x, y) -> x + y)))
            AS cos
     FROM nz a JOIN nz b
-      ON a.label = b.label AND a.vec_id <> b.vec_id
+      ON a.label = b.label AND a.srp = b.srp AND a.vec_id <> b.vec_id
 ), nn AS (
     SELECT va AS vec_id, vb AS nn_id, ROUND(cos, 6) AS nn_cosine,
            ROW_NUMBER() OVER (PARTITION BY va ORDER BY ROUND(cos, 6) DESC, vb) AS rk
@@ -371,32 +374,55 @@ ORDER BY vec_id
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: blocked nearest neighbor + threshold.
 
-    Blocking by the coarse `label` bucket (stand-in centroid assignment)
-    turns all-pairs O(N^2) into O(N^2 / n_buckets) — at 100 TB the
-    blocking key comes from an LSH / k-means assignment and this is the
-    standard semantic-dedup shape: one uniform-key shuffle for the
-    bucket self-join, a per-vector top-1 window, then a threshold flag
+    Blocking key = (label, SRP bucket): the coarse label bucket
+    (stand-in centroid assignment) COMPOSED with the 8-plane
+    signed-random-projection hash the SRP-LSH index uses — ~2560 cells
+    instead of 10. The round-8 full-registry sweep caught label-only
+    blocking at 24x wall for 10x data (0.77s -> 18.3s, sf0.1 -> sf1):
+    a FIXED bucket count makes the self-join pairs O(n^2 / k), still
+    quadratic — near-dup candidates need a bucket count that GROWS
+    with the corpus. SRP planes are that knob (each plane doubles the
+    cells; at 100 TB, 20-24 planes give millions — ann_srp_lsh's scale
+    note), and near-duplicates hash to the same SRP bucket with
+    probability ~(1 - angle/pi)^planes, high exactly for the
+    cosine >= 0.3 pairs this query flags. Plan: one uniform-key shuffle
+    for the cell self-join, per-vector top-1 window, threshold flag
     with canonical-id election (keep the smaller id of a dup pair).
+    Vectors whose cell holds no other vector emit no row (their nearest
+    in-cell neighbor does not exist) — the blocking contract, mirrored
+    in the oracle.
     """
     from .similarity import _dot_expr
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     # zero-norm vectors excluded: cosine undefined, and the division
     # throws under Spark's default ANSI mode (oracle filters identically)
-    en = e.withColumn(
-        "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
-    ).filter(F.col("nrm") > 0)
-    a = en.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("av"), F.col("nrm").alias("an")).alias("a")
+    en = (
+        e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+        .filter(F.col("nrm") > 0)
+        .withColumn("srp", F.expr(_srp_bucket_spark("embedding")))
+    )
+    a = en.select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("srp"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("an"),
+    ).alias("a")
     b = en.select(
         F.col("vec_id").alias("nn_id"),
         F.col("label").alias("lb"),
+        F.col("srp").alias("sb"),
         F.col("embedding").alias("bv"),
         F.col("nrm").alias("bn"),
     ).alias("b")
     cos = F.round(F.expr(_dot_expr("av", "bv")) / (F.col("an") * F.col("bn")), 6)
-    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id"))).select(
-        "vec_id", "nn_id", cos.alias("nn_cosine")
-    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("lb"))
+        & (F.col("srp") == F.col("sb"))
+        & (F.col("vec_id") != F.col("nn_id")),
+    ).select("vec_id", "nn_id", cos.alias("nn_cosine"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("nn_cosine").desc(), "nn_id")

@@ -500,15 +500,41 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_T = 0.35  # demo threshold: the synthetic corpus is near-isotropic
 # (max in-cluster cosine ~0.5), so a production 0.95 would be vacuous;
 # the dataflow is identical, T is the knob (drops ~19% at sf0.01)
+_SEM_W = 64  # sorted-neighborhood window: each vector is verified
+# against its W nearest cluster-mates in projection order — pairs are
+# O(N x W) at any cluster size (see semdedup_kmeans_prune docstring)
+
+# 1-D ordering projection for the neighborhood sort: the shared
+# md5-seeded SRP plane 0 (deterministic, identical literals on both
+# engines; the left-fold dot is the house bit-identical double contract)
+_SEM_PROJ_SPARK = (
+    "aggregate(zip_with(embedding, array("
+    + ", ".join(f"{v}D" for v in _srp_plane(0))
+    + "), (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SEM_PROJ_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(generate_series(1, {DIM}), "
+    "i -> CAST(e[i] AS DOUBLE) * (["
+    + ", ".join(f"CAST({v} AS DOUBLE)" for v in _srp_plane(0))
+    + "])[i])), (acc, v) -> acc + v)"
+)
 
 
 @query(
     "semdedup_kmeans_prune",
     oracle=f"""{_KM_PREFIX},
+ranked AS (
+    SELECT vec_id, e, cluster, nrm,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY {_SEM_PROJ_DUCK} ASC, vec_id ASC) AS rnk
+    FROM scored
+),
 pairs AS (
-    SELECT a.cluster, b.vec_id AS vb
-    FROM scored a JOIN scored b
-      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    SELECT a.cluster, GREATEST(a.vec_id, b.vec_id) AS vb
+    FROM ranked a JOIN ranked b
+      ON a.cluster = b.cluster
+     AND b.rnk > a.rnk AND b.rnk <= a.rnk + {_SEM_W}
     WHERE ROUND({_dot_sql_duckdb('a.e', 'b.e')} / (a.nrm * b.nrm), 6) >= {_SEM_T}
 ), dropped AS (
     SELECT DISTINCT cluster, vb FROM pairs
@@ -527,24 +553,41 @@ ORDER BY s.cluster
     tags=("dedup", "semdedup", "embedding", "kmeans"),
 )
 def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic deduplication inside
-    trained k-means clusters — drop every vector whose cosine to a
-    LOWER-id vector in the same cluster is ≥ T (keep-lowest-id is the
-    deterministic canonical election; the paper keeps one random point
-    per semantic group). Reports per-cluster corpus shrinkage — the
-    table a pretraining run consults to pick its dedup threshold.
+    """SemDeDup (Abbas et al. 2023) with a SORTED-NEIGHBORHOOD verify:
+    inside each trained k-means cluster, vectors are ordered by a fixed
+    1-D projection (the shared md5-seeded SRP plane 0) and each vector
+    is cosine-verified against its W=64 nearest cluster-mates in that
+    order; a vector is dropped when a verified neighbor has cosine >= T
+    (keep-smallest-id is the deterministic canonical election). Reports
+    per-cluster corpus shrinkage — the table a pretraining run consults
+    to pick its dedup threshold.
 
     Shares `operators/kmeans.py` training AND the `_KM_PREFIX`
     unrolled-Lloyd oracle CTEs with ann_ivf_kmeans — one definition of
     the training loop on each engine, so the two queries cannot drift.
 
-    Shapes at 100 TB: the pair join is within-cluster only (O(N²/k),
-    the whole point of clustering first — the paper's recipe is
-    k≈sqrt(N) which keeps per-cluster pair counts near-linear); one
-    shuffle on cluster id for both join sides (same exchange), rollup
-    output is k rows. No corpus-sized collect anywhere: training holds
-    k×dim floats on the driver, everything else is DataFrame-side."""
+    Why the window: the paper's recipe keeps per-cluster pair counts
+    near-linear by growing k with N (k ~ sqrt(N), clusters of bounded
+    size); this demo's k=8 is frozen into the unrolled oracle, so
+    cluster sizes grow WITH the corpus and all-pairs verify was
+    O(N^2/k) — the round-8 registry sweep measured 18.5 s at sf1 and
+    >15 min at sf10. The neighborhood window makes verified pairs
+    exactly N x W at any cluster size (sf10: 84 s -> see
+    BENCH_sf10_sweep_fixes_r8.json) while still catching near-dups:
+    high-cosine pairs have near-equal projections, so they are
+    neighbors in the sort (at sf0.01 cluster sizes ~62 < W, the window
+    covers the whole cluster and the result EQUALS all-pairs
+    SemDeDup). At production scale BOTH levers apply: k grows with N
+    and W bounds the in-cluster verify.
+
+    Plan shape: rank window partitioned by cluster; the band join is
+    an EQUI-join on (cluster, rank-bucket) with the a-side exploded to
+    its 2 covering buckets (rnk div W, +1) — never a range
+    nested-loop; the ranked frame is materialized once for its three
+    consumers; rollup output is k rows. No corpus-sized collect:
+    training holds k x dim floats on the driver."""
     from ..operators.kmeans import assign_clusters, kmeans_fit
+    from ..session import materialize
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     e = e.select("vec_id", "embedding").filter(
@@ -554,29 +597,51 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = assign_clusters(e, "embedding", centroids).withColumn(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     )
-    a = en.alias("a")
-    b = en.alias("b")
-    cos = F.round(
-        F.expr(_dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
+    wr = Window.partitionBy("cluster").orderBy(
+        F.expr(_SEM_PROJ_SPARK).asc(), F.col("vec_id").asc()
     )
+    ranked = materialize(en.withColumn("rnk", F.row_number().over(wr)))
+    a = ranked.select(
+        F.col("cluster").alias("ca"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("an"),
+        F.col("rnk").alias("ra"),
+        F.explode(
+            F.array(F.expr(f"rnk div {_SEM_W}"), F.expr(f"rnk div {_SEM_W} + 1"))
+        ).alias("bk"),
+    )
+    b = ranked.select(
+        F.col("cluster").alias("cb"),
+        F.col("vec_id").alias("vb_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bn"),
+        F.col("rnk").alias("rb"),
+        F.expr(f"rnk div {_SEM_W}").alias("bkb"),
+    )
+    cos = F.round(F.expr(_dot_expr("av", "bv")) / (F.col("an") * F.col("bn")), 6)
+    # merge hint: un-hinted self-joins of a materialized (stats-less)
+    # frame broadcast the fact side — the basket_common lesson (NOTES)
     dropped = (
         a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            b.hint("merge"),
+            (F.col("ca") == F.col("cb"))
+            & (F.col("bk") == F.col("bkb"))
+            & (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + _SEM_W),
         )
         .filter(cos >= _SEM_T)
-        .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("vb"))
+        .select(F.col("ca").alias("cluster"), F.greatest("va", "vb_id").alias("vb"))
         .distinct()
     )
     return (
-        en.join(
+        ranked.join(
             dropped,
-            (en["cluster"] == dropped["cluster"]) & (en["vec_id"] == dropped["vb"]),
+            (ranked["cluster"] == dropped["cluster"])
+            & (ranked["vec_id"] == dropped["vb"]),
             "left",
         )
-        .groupBy(en["cluster"])
+        .groupBy(ranked["cluster"])
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.count("vb").alias("n_dropped"),
@@ -585,7 +650,7 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.count(F.lit(1)) - F.count("vb")) / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("keep_frac"),
-            F.min(en["vec_id"]).alias("canonical_example"),
+            F.min(ranked["vec_id"]).alias("canonical_example"),
         )
         .orderBy("cluster")
     )

@@ -167,35 +167,98 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_match_levenshtein",
     oracle="""
-SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-       levenshtein(a.c_name, b.c_name) AS edit_dist
-FROM customer a JOIN customer b
-  ON a.c_custkey < b.c_custkey
- AND a.c_custkey % 25 = 0 AND b.c_custkey % 25 = 0
-WHERE levenshtein(a.c_name, b.c_name) <= 2
-ORDER BY key_a, key_b
+WITH names AS (
+    -- exact-dedup stage first: fuzzy matching operates on DISTINCT
+    -- names, each represented by its smallest key (exact duplicates
+    -- are the exact-dedup operator's job, and duplicate groups grow
+    -- with the corpus — verifying inside them is quadratic work for
+    -- zero linkage information)
+    SELECT c_name, MIN(c_custkey) AS key_a
+    FROM customer WHERE c_name IS NOT NULL AND c_custkey % 25 = 0
+    GROUP BY c_name
+), blk AS (
+    SELECT key_a, c_name,
+           substr(c_name, 1, CAST(greatest(len(c_name) - 2, 0) AS INT)) AS block
+    FROM names
+), pairs AS (
+    SELECT a.key_a, b.key_a AS best_match,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM blk a JOIN blk b
+      ON a.block = b.block AND a.c_name <> b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+)
+SELECT key_a, best_match, edit_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key_a
+                ORDER BY edit_dist ASC, best_match ASC) AS rk
+    FROM pairs
+) WHERE rk = 1
+ORDER BY key_a
 """,
-    tags=("fuzzy", "levenshtein"),
+    tags=("fuzzy", "levenshtein", "blocking"),
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record matching on a blocked candidate set (probe subset
-    stands in for the blocking stage): edit distance <= 2 flags
-    near-identical names. At scale the blocking key (sorted-neighborhood
-    or phonetic bucket) bounds the pair count, exactly like the LSH
-    pattern for documents."""
+    """Fuzzy record matching as a linkage pipeline runs it: exact-dedup
+    first (DISTINCT names of the flagged % 25 subset, each represented
+    by its smallest key), block the distinct names on the name prefix
+    (everything but the last 2 chars), verify same-block pairs with
+    edit distance <= 2, and report each name's BEST match (min
+    distance, ties to the smallest representative key) — one output
+    row per matchable name.
+
+    Three scale classes fixed here, all caught by the round-8 registry
+    sweep (92x wall for 10x data, 2.4s -> 221s at sf1):
+    - candidate pairs were ALL pairs of the % 25 subset (the round-7
+      probe-panel class, for pair generation): O(n^2) by construction.
+      The block key in the join bounds candidates to same-block pairs.
+    - pair ENUMERATION is quadratic inside exact-duplicate groups, and
+      duplicate groups grow WITH the corpus (the scale corpora tile
+      each base name 10x per decade — emit-every-pair grew 130x rows
+      at 10x data, and even top-1 output still paid b^2 verify work,
+      43x at the second decade). Exact-dedup-first collapses each
+      group to one representative: fuzzy VERIFY work is bounded by
+      distinct-name count, the corpus contributes only a linear
+      group-by.
+    - best-match (top-1) output instead of all pairs: linear output at
+      any match multiplicity.
+    Blocking recall: an edit inside the blocked prefix is missed — at
+    scale you run 2-3 complementary blocking passes (phonetic key,
+    sorted-neighborhood) and union, same dataflow per pass. NULL names
+    are unmatchable and excluded on both engines."""
     configure(spark)
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
-    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("na"))
-    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("nb"))
-    return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("na", "nb").alias("edit_dist"),
-        )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_name").isNotNull() & (F.col("c_custkey") % 25 == 0)
+    )
+    names = c.groupBy("c_name").agg(F.min("c_custkey").alias("key_a"))
+    blk = names.select(
+        "key_a",
+        "c_name",
+        F.expr(
+            "substr(c_name, 1, cast(greatest(length(c_name) - 2, 0) as int))"
+        ).alias("block"),
+    )
+    a = blk.select(
+        F.col("key_a"),
+        F.col("c_name").alias("na"),
+        F.col("block").alias("ba"),
+    )
+    b = blk.select(
+        F.col("key_a").alias("best_match"),
+        F.col("c_name").alias("nb"),
+        F.col("block").alias("bb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("na") != F.col("nb")))
+        .select("key_a", "best_match", F.levenshtein("na", "nb").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 2)
-        .orderBy("key_a", "key_b")
+    )
+    w = Window.partitionBy("key_a").orderBy(
+        F.col("edit_dist").asc(), F.col("best_match").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("key_a", "best_match", "edit_dist")
+        .orderBy("key_a")
     )
 
 
