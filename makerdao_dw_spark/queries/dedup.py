@@ -381,23 +381,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking at 24x wall for 10x data (0.77s -> 18.3s, sf0.1 -> sf1):
     a FIXED bucket count makes the self-join pairs O(n^2 / k), still
     quadratic — near-dup candidates need a bucket count that GROWS
-    with the corpus. SRP planes are that knob (each plane doubles the
-    cells; at 100 TB, 20-24 planes give millions — ann_srp_lsh's scale
-    note), and near-duplicates hash to the same SRP bucket with
-    probability ~(1 - angle/pi)^planes, high exactly for the
-    cosine >= 0.3 pairs this query flags. Plan: one uniform-key shuffle
-    for the cell self-join, per-vector top-1 window, threshold flag
-    with canonical-id election (keep the smaller id of a dup pair).
-    Vectors whose cell holds no other vector emit no row (their nearest
-    in-cell neighbor does not exist) — the blocking contract, mirrored
-    in the oracle.
+    with the corpus.
+
+    Recall is the explicit tradeoff, stated precisely: a pair at angle
+    theta shares all 8 sign bits with probability (1 - theta/pi)^8 —
+    ~29% at cosine 0.9, ~2% at the 0.3 flag threshold — so the
+    operator's contract is "nearest SAME-CELL neighbor", a
+    precision-oriented candidate generator, not exact NN (the label-only
+    block it replaced was equally far from exact NN on this
+    near-isotropic corpus: measured label-cell recall@5 = 0.08).
+    Production near-dup detection recovers recall with BANDED OR-ed
+    tables — b independent bands of r planes each match a true pair in
+    ANY band, 1-(1-p^r)^b (the MinHash BANDS=4 pattern in this file);
+    each extra band multiplies candidates, so b trades compute for
+    recall while total bits r*b bound the cell population. The banded
+    variant is the same dataflow run b times + a union. Plan: one
+    uniform-key shuffle for the cell self-join, per-vector top-1
+    window, threshold flag with canonical-id election (keep the
+    smaller id of a dup pair). Vectors whose cell holds no other
+    vector emit no row — the blocking contract, mirrored in the
+    oracle.
     """
     from .similarity import _dot_expr
 
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
     # zero-norm vectors excluded: cosine undefined, and the division
     # throws under Spark's default ANSI mode (oracle filters identically)
-    en = (
+    from ..session import materialize
+
+    # materialize: the frame feeds BOTH self-join sides — without it the
+    # scan + the 512-literal SRP expression run twice (house 2+-consumer
+    # rule, session.materialize docstring)
+    en = materialize(
         e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
         .filter(F.col("nrm") > 0)
         .withColumn("srp", F.expr(_srp_bucket_spark("embedding")))

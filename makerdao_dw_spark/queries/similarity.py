@@ -206,17 +206,24 @@ def _srp_bucket_spark(col: str) -> str:
     )
 
 
+def _dot_plane_duck(col: str, j: int) -> str:
+    """Left-fold dot of `col` against the md5-seeded plane j literal —
+    ONE definition of the plane-dot fold (shared by the SRP bucket and
+    the SemDeDup neighborhood projection, so the bit-identical double
+    contract can't drift between them)."""
+    lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in _srp_plane(j))
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), i -> CAST({col}[i] AS DOUBLE) * ([{lit}])[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
 def _srp_bucket_duck(col: str) -> str:
-    terms = []
-    for j in range(_SRP_PLANES):
-        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in _srp_plane(j))
-        dot = (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {DIM}), i -> CAST({col}[i] AS DOUBLE) * ([{lit}])[i])), "
-            f"(acc, v) -> acc + v)"
-        )
-        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
-    return " + ".join(terms)
+    return " + ".join(
+        f"(CASE WHEN {_dot_plane_duck(col, j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SRP_PLANES)
+    )
 
 
 @query(
@@ -506,19 +513,17 @@ _SEM_W = 64  # sorted-neighborhood window: each vector is verified
 
 # 1-D ordering projection for the neighborhood sort: the shared
 # md5-seeded SRP plane 0 (deterministic, identical literals on both
-# engines; the left-fold dot is the house bit-identical double contract)
+# engines; the left-fold dot is the house bit-identical double
+# contract). Duck side reuses _dot_plane_duck — one fold definition;
+# the Spark twin _srp_bucket_spark folds over an ARRAY of planes (a
+# structurally different expression), so the single-plane Spark form
+# lives here.
 _SEM_PROJ_SPARK = (
     "aggregate(zip_with(embedding, array("
     + ", ".join(f"{v}D" for v in _srp_plane(0))
     + "), (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
 )
-_SEM_PROJ_DUCK = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    f"list_transform(generate_series(1, {DIM}), "
-    "i -> CAST(e[i] AS DOUBLE) * (["
-    + ", ".join(f"CAST({v} AS DOUBLE)" for v in _srp_plane(0))
-    + "])[i])), (acc, v) -> acc + v)"
-)
+_SEM_PROJ_DUCK = _dot_plane_duck("e", 0)
 
 
 @query(
@@ -572,13 +577,22 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes grow WITH the corpus and all-pairs verify was
     O(N^2/k) — the round-8 registry sweep measured 18.5 s at sf1 and
     >15 min at sf10. The neighborhood window makes verified pairs
-    exactly N x W at any cluster size (sf10: 84 s -> see
-    BENCH_sf10_sweep_fixes_r8.json) while still catching near-dups:
-    high-cosine pairs have near-equal projections, so they are
-    neighbors in the sort (at sf0.01 cluster sizes ~62 < W, the window
-    covers the whole cluster and the result EQUALS all-pairs
-    SemDeDup). At production scale BOTH levers apply: k grows with N
-    and W bounds the in-cluster verify.
+    exactly N x W at any cluster size (sf10: 21 s,
+    BENCH_sf10_sweep_fixes_r8.json).
+
+    The window's recall contract, stated precisely: when cluster_size
+    <= W the window covers the whole cluster and the result EQUALS
+    all-pairs SemDeDup (true at sf0.01, clusters ~62 — the regime
+    every oracle compare runs in). When clusters outgrow W, a
+    same-cluster pair is verified only if within W ranks in the 1-D
+    projection order; high-cosine pairs have close projections, but
+    rank distance grows with cluster DENSITY, so the window
+    under-drops on corpora whose clusters far exceed W (this one at
+    sf1+). That is the deliberate deployment rule, not a surprise:
+    choose k so clusters stay ~<= W (k ~ N/W) and the window IS exact
+    SemDeDup with N x W cost; W is the safety bound that keeps the
+    engine's work linear when the corpus outgrows a frozen k — as the
+    demo corpus does here, by construction of the unrolled oracle.
 
     Plan shape: rank window partitioned by cluster; the band join is
     an EQUI-join on (cluster, rank-bucket) with the a-side exploded to

@@ -178,7 +178,7 @@ WITH names AS (
     GROUP BY c_name
 ), blk AS (
     SELECT key_a, c_name,
-           substr(c_name, 1, CAST(greatest(len(c_name) - 2, 0) AS INT)) AS block
+           substr(c_name, 1, 16) AS block
     FROM names
 ), pairs AS (
     SELECT a.key_a, b.key_a AS best_match,
@@ -199,11 +199,15 @@ ORDER BY key_a
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record matching as a linkage pipeline runs it: exact-dedup
     first (DISTINCT names of the flagged % 25 subset, each represented
-    by its smallest key), block the distinct names on the name prefix
-    (everything but the last 2 chars), verify same-block pairs with
-    edit distance <= 2, and report each name's BEST match (min
-    distance, ties to the smallest representative key) — one output
-    row per matchable name.
+    by its smallest key), block the distinct names on a FIXED-LENGTH
+    16-char prefix, verify same-block pairs with edit distance <= 2,
+    and report each name's BEST match (min distance, ties to the
+    smallest representative key) — one output row per matchable name.
+    The prefix is fixed-length on purpose: a length-relative prefix
+    (all-but-last-2) gives different-length names different blocks, so
+    NO insertion/deletion edit is ever detectable — with a fixed
+    prefix, edits (of all three kinds) beyond char 16 are caught, and
+    only edits inside the prefix are traded away.
 
     Three scale classes fixed here, all caught by the round-8 registry
     sweep (92x wall for 10x data, 2.4s -> 221s at sf1):
@@ -232,9 +236,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = names.select(
         "key_a",
         "c_name",
-        F.expr(
-            "substr(c_name, 1, cast(greatest(length(c_name) - 2, 0) as int))"
-        ).alias("block"),
+        F.expr("substr(c_name, 1, 16)").alias("block"),
     )
     a = blk.select(
         F.col("key_a"),

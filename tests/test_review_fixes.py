@@ -112,6 +112,13 @@ def test_cosine_queries_survive_zero_vector(spark, tmp_path):
     emb = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(n)]
     emb[0] = [0.0] * 64    # probe id 0 (vec_id % 100 == 0) is degenerate
     emb[50] = [0.0] * 64   # probe id 50 (% 25 == 0, % 10 == 0) too
+    # exact-duplicate same-label pairs: same (label, SRP bucket) cell by
+    # construction, cosine exactly 1 — keeps the pair/top-1/canonical
+    # path of dedup_embedding_cosine exercised now that the (label, srp)
+    # blocking makes most random vectors singleton-cell (the compare
+    # would otherwise pass on near-empty results)
+    emb[101] = list(emb[1])   # 101 % 4 == 1 % 4 -> same label
+    emb[102] = list(emb[2])
     _write(
         tmp_path,
         "embeddings",
@@ -131,6 +138,15 @@ def test_cosine_queries_survive_zero_vector(spark, tmp_path):
         "dedup_embedding_cosine",
     ):
         compare_with_oracle(spark, name, QUERIES[name], ORACLES[name], str(tmp_path))
+    # the duplicate pairs must be flagged with the duplicate dropped and
+    # the smaller id elected canonical — pins the pair path is live
+    got = {
+        r["vec_id"]: (r["is_near_dup"], r["canonical_id"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, str(tmp_path)).collect()
+    }
+    assert got[101] == (True, 1), got.get(101)
+    assert got[102] == (True, 2), got.get(102)
+    assert got[1] == (True, 1), got.get(1)
 
 
 def test_bigram_survives_short_documents(spark, tmp_path):

@@ -59,7 +59,9 @@ def main() -> None:
                     break
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3) if best is not None else f"error: {err}"
+            # an error on ANY iteration marks the query failed — a query
+            # that succeeds once then dies must not report a clean timing
+            out[name] = f"error: {err}" if err is not None else round(best, 3)
             print(f"[{i + 1}/{len(names)}] {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]}", flush=True)
         return out
 
