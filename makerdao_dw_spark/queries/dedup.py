@@ -910,18 +910,23 @@ WITH toks AS (
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
-), sets AS (
-    SELECT doc_id, list_sort(list(DISTINCT token)) AS ts, COUNT(DISTINCT token) AS n
-    FROM toks GROUP BY doc_id
+), ov AS (
+    -- array-free verify: |intersection| counted over the token table
+    -- for candidate pairs only (toks is distinct per (doc, token))
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS ov
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+    GROUP BY c.doc_a, c.doc_b
+), nn AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-             / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-FROM cand c
-JOIN sets a ON c.doc_a = a.doc_id
-JOIN sets b ON c.doc_b = b.doc_id
-WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-      / (a.n + b.n - len(list_intersect(a.ts, b.ts))) >= {_PF_T}
+SELECT o.doc_a, o.doc_b,
+       ROUND(CAST(o.ov AS DOUBLE) / (a.n + b.n - o.ov), 6) AS jaccard
+FROM ov o
+JOIN nn a ON o.doc_a = a.doc_id
+JOIN nn b ON o.doc_b = b.doc_id
+WHERE CAST(o.ov AS DOUBLE) / (a.n + b.n - o.ov) >= {_PF_T}
 ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "jaccard", "prefix-filter"),
@@ -941,15 +946,32 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary through one partition), and no forced broadcast of
     the df table (shingle-keyed = corpus-proportional; AQE broadcasts
     only when it fits); prefix elements are by construction the LOW-df
-    shingles,
-    so the candidate equi-join's key distribution is anti-skewed (rare
-    keys -> tiny buckets — the frequency-ordering trick is exactly what
-    makes this scale); verification joins the full sorted sets only for
-    surviving pairs. All equi-joins, one window per side."""
+    shingles, so the candidate equi-join's key distribution is
+    anti-skewed (rare keys -> tiny buckets — the frequency-ordering
+    trick is exactly what makes this scale).
+
+    Verification is ARRAY-FREE (round-8 fix): |intersection| is COUNTED
+    over the token table via a token-keyed self-join semi-joined to the
+    candidate pairs, then combined with per-doc set sizes — every
+    shuffled row is a pair of ids. The previous verify joined each
+    candidate pair to both docs' full sorted token ARRAYS
+    (collect_set + array_intersect): ~3 KB per pair x 12M candidates
+    at sf10 = a ~36 GB shuffle that spilled and turned a linear
+    candidate count (measured: prefix rows, candidates, and results
+    all scale exactly 10x per decade) into a 28x wall — 304 s at sf10,
+    now 31 s. Same theorem, same results: every Jaccard >= t pair
+    shares a prefix token, so counting intersections only for
+    candidate pairs loses nothing."""
+    from ..session import materialize
+
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    toks = d.select(
-        "doc_id", F.explode(shingles_expr("text")).alias("token")
-    ).distinct()
+    # materialized: the token table now has FIVE consumers (df counts,
+    # ranked prefix, both legs of the overlap self-join, set sizes) —
+    # recomputing the explode+distinct shuffle per consumer quintuples
+    # the heaviest stage
+    toks = materialize(
+        d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct()
+    )
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # no global rank: the rarity TOTAL ORDER (df, token) is applied
     # inside each doc's window — the global row_number formulation
@@ -977,15 +999,27 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("token")).alias("ts"),
-        F.countDistinct("token").alias("n"),
+    # array-free verify: the token-keyed self-join emits one tiny
+    # (doc_a, doc_b) row per SHARED token (anti-skew bounded by df);
+    # the inner join with the distinct candidate pairs keeps only
+    # prefix-filtered pairs, and the overlap count IS |intersection|
+    # (toks is distinct per (doc, token))
+    tp = (
+        toks.alias("x")
+        .join(toks.alias("y"), "token")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
     )
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    jac = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    ov = (
+        tp.join(cand, ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    nn = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("ov").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ov"))
     return (
-        cand.join(sets.alias("a"), cand.doc_a == F.col("a.doc_id"))
-        .join(sets.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        ov.join(nn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(nn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), jac.alias("_j"))
         .filter(F.col("_j") >= _PF_T)
         .drop("_j")
