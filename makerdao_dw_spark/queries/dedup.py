@@ -961,7 +961,24 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all scale exactly 10x per decade) into a 28x wall — 304 s at sf10,
     now 31 s. Same theorem, same results: every Jaccard >= t pair
     shares a prefix token, so counting intersections only for
-    candidate pairs loses nothing."""
+    candidate pairs loses nothing.
+
+    Cost regimes of the two exact verify shapes (the choice is
+    cost-based, not semantic):
+    - token-keyed (this code): the pair leg enumerates every
+      co-occurring doc pair per token = sum_t df(t)^2 / 2 rows. NOT
+      "bounded by df" — a single hot shingle with df = 1M yields
+      5e11 pairs. Linear HERE because shingle df is corpus-bounded by
+      construction (word-3-gram shingles over docs whose replicas get
+      disjoint `_r{r}` vocabularies: df per shingle stays flat as the
+      corpus grows; measured sum df^2 ~ 10x per decade).
+    - doc-keyed (the DuckDB twin's shape: cand -> toks on doc_a ->
+      toks on (doc_b, token)): |cand| x avg-set-size rows, independent
+      of df skew — the Vernica et al. (SIGMOD'10) record-fetch verify.
+      On a heavy-tailed real corpus, pick this (or cap df with the
+      LSH-style over-cap side-output) whenever max(df)^2 >> |cand| x n̄;
+      for this corpus it is the ~100x LARGER side (12M candidates x
+      ~200 shingles vs the small sum df^2)."""
     from ..session import materialize
 
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
@@ -1000,10 +1017,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # array-free verify: the token-keyed self-join emits one tiny
-    # (doc_a, doc_b) row per SHARED token (anti-skew bounded by df);
-    # the inner join with the distinct candidate pairs keeps only
-    # prefix-filtered pairs, and the overlap count IS |intersection|
-    # (toks is distinct per (doc, token))
+    # (doc_a, doc_b) row per SHARED token — sum_t df(t)^2 rows total,
+    # linear on this corpus because shingle df is corpus-bounded (see
+    # docstring for the heavy-tail decision rule vs the doc-keyed
+    # shape); the inner join with the distinct candidate pairs keeps
+    # only prefix-filtered pairs, and the overlap count IS
+    # |intersection| (toks is distinct per (doc, token))
     tp = (
         toks.alias("x")
         .join(toks.alias("y"), "token")

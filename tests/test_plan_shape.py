@@ -619,14 +619,21 @@ def test_simhash_hamming_single_signature_pass(spark):
     assert not _heavy_pushed_filters(df)
 
 
-def test_prefix_filter_reuses_shingle_exchange(spark):
-    """dedup_prefix_filter_jaccard: tdf/ranked/sets all derive from the
-    distinct (doc_id, shingle) aggregate — its exchange must be reused
-    at runtime, not recomputed per consumer."""
+def test_prefix_filter_single_tokenize(spark):
+    """dedup_prefix_filter_jaccard: every consumer of the distinct
+    (doc_id, shingle) aggregate — df counts, ranked prefix, both legs
+    of the overlap self-join, set sizes — must read the materialize()d
+    token table, never re-run the explode+distinct (r8 array-free
+    rewrite: the reuse guarantee moved from ReusedExchange to the
+    cache, so the optimized plan has ZERO live scans and only
+    InMemoryRelation leaves, consumed 5+ times)."""
     df = run(spark, "dedup_prefix_filter_jaccard")
     df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in p or "ReusedQueryStage" in p or "reused" in p, p[:3000]
+    assert_reads_materialized_only(df, "prefix_filter")
+    names = leaf_names(df)
+    assert names.count("InMemoryRelation") >= 5, names
+    # the tokenize explode must not appear above the materialization
+    assert not any("split(" in x for _, x in walk_logical(df))
 
 
 def test_leakage_audit_no_heavy_predicate_below_spread(spark):

@@ -81,7 +81,12 @@ def _replicate(df: DataFrame, table: str, factor: int, strides: dict[str, int]) 
     'cross join' is a map-side fan-out of the scan, never a shuffle.
     """
     rep = df.sparkSession.range(factor).select(F.col("id").alias("_r"))
-    out = df.crossJoin(F.broadcast(rep))
+    # spread the base scan first: a small parquet source yields only a
+    # few input splits (sf0.1 lineitem = 3 row groups), so at factor
+    # 1000 the x1000 fan-out would run on 3 tasks — repartition to the
+    # core count so the fan-out parallelizes
+    cpus = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(cpus).crossJoin(F.broadcast(rep))
     for col, ref in KEYS.get(table, {}).items():
         out = out.withColumn(
             col, (F.col(col) + F.col("_r") * F.lit(strides[ref])).cast(dict(df.dtypes)[col])
