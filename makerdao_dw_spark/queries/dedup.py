@@ -958,10 +958,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collect_set + array_intersect): ~3 KB per pair x 12M candidates
     at sf10 = a ~36 GB shuffle that spilled and turned a linear
     candidate count (measured: prefix rows, candidates, and results
-    all scale exactly 10x per decade) into a 28x wall — 304 s at sf10,
-    now 31 s. Same theorem, same results: every Jaccard >= t pair
-    shares a prefix token, so counting intersections only for
-    candidate pairs loses nothing.
+    all scale exactly 10x per decade) into a 28x wall. Measured
+    (BENCH_sf10_tier3_fixed_r8.json): sf10 304 s -> 76 s min / ~110 s
+    typical; second decade 28.1x -> 4.6x; the cost is +5 s at sf1
+    (10.8 -> 16.4 s, the materialize + extra aggregate jobs) — the
+    right trade for a scale path. Same theorem, same results: every
+    Jaccard >= t pair shares a prefix token, so counting intersections
+    only for candidate pairs loses nothing (verified: overlap rows ==
+    candidate rows at sf1).
 
     Cost regimes of the two exact verify shapes (the choice is
     cost-based, not semantic):
@@ -976,9 +980,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       toks on (doc_b, token)): |cand| x avg-set-size rows, independent
       of df skew — the Vernica et al. (SIGMOD'10) record-fetch verify.
       On a heavy-tailed real corpus, pick this (or cap df with the
-      LSH-style over-cap side-output) whenever max(df)^2 >> |cand| x n̄;
-      for this corpus it is the ~100x LARGER side (12M candidates x
-      ~200 shingles vs the small sum df^2)."""
+      LSH-style over-cap side-output) whenever max(df)^2 >> |cand| x n̄.
+      Measured at sf1 (idle box): token-keyed 7.2 s (sum df^2 = 27.9M,
+      max df 25) vs doc-keyed 13.8 s (1.19M candidates x ~52
+      shingles/doc) — token-keyed wins here by ~2x; the ratio flips
+      when any shingle's df approaches sqrt(|cand| x n̄)."""
     from ..session import materialize
 
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
