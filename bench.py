@@ -135,6 +135,18 @@ def main() -> None:
     # (matching the conditions the per-query mins were measured under);
     # the per-end medians expose WITHIN-run drift in the artifact.
     calib = statistics.median(calib_start + calib_end)
+    # Host-speed sanity flag (round-9 ADVICE): when the session runs
+    # >20% off the reference host speed, the RAW total moves with the
+    # host and only value_normalized is comparable across rounds — say
+    # so in the artifact, so a raw-vs-normalized divergence self-explains
+    # without a forensic A/B (the round-8 adjudication).
+    drift = calib / CALIBRATION_REF_SEC
+    host_note = (
+        f"host ran {drift:.2f}x the reference calibration speed; compare "
+        "value_normalized across rounds, not value"
+        if abs(drift - 1.0) > 0.20
+        else "host speed within 20% of reference"
+    )
     print(
         json.dumps(
             {
@@ -149,6 +161,7 @@ def main() -> None:
                     "session_median_sec": round(calib, 3),
                     "ref_sec": CALIBRATION_REF_SEC,
                     "estimator": CALIBRATION_ESTIMATOR,
+                    "host_speed_note": host_note,
                 },
                 "value_normalized": round(total * CALIBRATION_REF_SEC / calib, 3),
             }

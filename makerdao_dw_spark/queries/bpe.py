@@ -70,15 +70,29 @@ _PAIRS_DUCK = (
 )
 
 
-def _duck_train_ctes(steps: int = _BPE_STEPS) -> str:
+_WORDS_FROM_DOCS_DUCK = f"""SELECT t AS word, COUNT(*) AS freq
+    FROM (SELECT UNNEST({tokens_arr_duck()}) AS t FROM documents)
+    GROUP BY t"""
+
+
+def _duck_train_ctes(steps: int = _BPE_STEPS, words_body: str = _WORDS_FROM_DOCS_DUCK) -> str:
     """DuckDB CTE unroll of the BPE trainer: words -> s0, then per step
     i: p{i} (weighted pair counts) -> b{i} (argmax pair, ties to the
-    lexicographically smaller) -> s{i} (vocabulary re-segmented)."""
+    lexicographically smaller) -> s{i} (vocabulary re-segmented).
+
+    `words_body` lets a caller feed the word-frequency table from an
+    already-tokenized CTE (bpe_apply_fertility derives it as a rollup
+    of its per-(lang, word) counts — ONE corpus tokenize, not two).
+
+    The per-step re-segment is a LEFT JOIN ON TRUE, not a CROSS JOIN:
+    if a step finds no remaining pair (a degenerate corpus fully fused
+    before _BPE_STEPS), b{{i}} is empty and a cross join would EMPTY
+    the vocabulary; the left join keeps every word and the merge fold
+    with NULL p1/p2 is the identity (x = NULL is never true), so the
+    previous segmentation carries forward unchanged."""
     parts = [
         f"""words AS (
-    SELECT t AS word, COUNT(*) AS freq
-    FROM (SELECT UNNEST({tokens_arr_duck()}) AS t FROM documents)
-    GROUP BY t
+    {words_body}
 ), s0 AS (
     SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq
     FROM words
@@ -98,7 +112,7 @@ def _duck_train_ctes(steps: int = _BPE_STEPS) -> str:
            split_part(pair, ' ', 1) AS p1, split_part(pair, ' ', 2) AS p2
     FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
 ), s{i} AS (
-    SELECT word, {merge} AS sym, freq FROM {prev} CROSS JOIN b{i}
+    SELECT word, {merge} AS sym, freq FROM {prev} LEFT JOIN b{i} ON TRUE
 )"""
         )
     return ",\n".join(parts)
@@ -109,20 +123,26 @@ _TRAIN_FINAL = " UNION ALL ".join(
 )
 
 
-def _spark_train(spark: SparkSession, sf_dir: str):
+def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = None):
     """Shared Spark trainer: returns (merge-table DataFrame rows
     [step, pair, cnt], final vocabulary DataFrame [word, sym, freq]).
+
+    `words` (word, freq) lets a caller that already tokenized the
+    corpus feed the frequency table directly (bpe_apply_fertility
+    rolls its per-(lang, word) counts up) — the corpus is tokenized
+    exactly once per query.
 
     Each step's vocabulary is materialize()d: it feeds both the pair
     count and the next step's merge, and the chain would otherwise
     recompute the corpus tokenize once per step (O(steps) corpus
     passes instead of one)."""
-    d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    words = (
-        d.select(F.explode(tokens_arr("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if words is None:
+        d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
+        words = (
+            d.select(F.explode(tokens_arr("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     s = materialize(
         words.select(
             "word",
@@ -147,8 +167,12 @@ def _spark_train(spark: SparkSession, sf_dir: str):
             F.expr("split_part(pair, ' ', 1)").alias("_p1"),
             F.expr("split_part(pair, ' ', 2)").alias("_p2"),
         )
+        # LEFT join on TRUE, not crossJoin: an empty argmax (degenerate
+        # corpus fully fused before _BPE_STEPS) must carry the previous
+        # segmentation forward, not empty the vocabulary — the merge
+        # fold with NULL _p1/_p2 is the identity (x = NULL never true)
         s = materialize(
-            s.crossJoin(F.broadcast(bp)).select(
+            s.join(F.broadcast(bp), F.lit(True), "left").select(
                 "word",
                 F.expr(_MERGE_SPARK.format(sym="sym", p1="_p1", p2="_p2")).alias("sym"),
                 "freq",
@@ -189,12 +213,13 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bpe_apply_fertility",
     oracle=f"""
-WITH {_duck_train_ctes()},
-langw AS (
+WITH langw AS (
     SELECT lang, t AS word, COUNT(*) AS freq
     FROM (SELECT lang, UNNEST({tokens_arr_duck()}) AS t FROM documents)
     GROUP BY lang, t
-)
+),
+{_duck_train_ctes(words_body='''SELECT word, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM langw GROUP BY word''')}
 SELECT l.lang,
        CAST(SUM(l.freq) AS BIGINT) AS n_words,
        CAST(SUM(l.freq * len(string_split(v.sym, ' '))) AS BIGINT) AS n_tokens,
@@ -215,14 +240,21 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word -> sym) and joins it to per-(lang, word) frequencies: the
     corpus is never re-segmented row by row — at 100 TB the join is
     (lang x vocab)-sized against a vocabulary-sized dimension (AQE
-    broadcasts it when it fits)."""
+    broadcasts it when it fits).
+
+    The corpus is tokenized ONCE: the per-(lang, word) aggregate is the
+    only corpus-sized shuffle, and the trainer's word-frequency table
+    is a (lang x vocab)-sized rollup of it (SUM over lang) — feeding
+    the trainer its own tokenize would re-explode the same corpus a
+    second time for zero information."""
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    _, vocab = _spark_train(spark, sf_dir)
-    langw = (
+    langw = materialize(
         d.select("lang", F.explode(tokens_arr("text")).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    words = langw.groupBy("word").agg(F.sum("freq").alias("freq"))
+    _, vocab = _spark_train(spark, sf_dir, words=words)
     n_tok = F.sum(F.col("freq") * F.size(F.split("sym", " ")))
     return (
         langw.join(vocab.select("word", "sym"), "word")

@@ -190,20 +190,28 @@ def _srp_plane(j: int, dim: int = DIM) -> list[float]:
     return out
 
 
-def _srp_bucket_spark(col: str) -> str:
-    # ONE nested literal + lambda fold instead of 8 separate 64-literal
-    # expressions: ~8x smaller expression tree, which cuts the first-call
-    # analysis/codegen cost from ~8s to ~1s (execution cost identical).
+def _srp_band_spark(col: str, first_plane: int = 0, n_planes: int = _SRP_PLANES) -> str:
+    """SRP cell hash over planes [first_plane, first_plane + n_planes):
+    the banded near-dup variant OR-es several such bands (each with its
+    own disjoint plane range), and the single-cell form is band 0.
+
+    ONE nested literal + lambda fold instead of n separate 64-literal
+    expressions: ~8x smaller expression tree, which cuts the first-call
+    analysis/codegen cost from ~8s to ~1s (execution cost identical)."""
     planes = ", ".join(
-        "array(" + ", ".join(f"{v}D" for v in _srp_plane(j)) + ")"
-        for j in range(_SRP_PLANES)
+        "array(" + ", ".join(f"{v}D" for v in _srp_plane(first_plane + j)) + ")"
+        for j in range(n_planes)
     )
     return (
-        f"aggregate(sequence(0, {_SRP_PLANES - 1}), cast(0 as bigint), (acc, j) -> "
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, j) -> "
         f"acc + CASE WHEN aggregate(zip_with({col}, element_at(array({planes}), j + 1), "
         f"(x, y) -> cast(x as double) * y), cast(0.0 as double), (a, v) -> a + v) >= 0 "
         f"THEN shiftleft(1L, j) ELSE 0L END)"
     )
+
+
+def _srp_bucket_spark(col: str) -> str:
+    return _srp_band_spark(col, 0, _SRP_PLANES)
 
 
 def _dot_plane_duck(col: str, j: int) -> str:
@@ -219,11 +227,16 @@ def _dot_plane_duck(col: str, j: int) -> str:
     )
 
 
-def _srp_bucket_duck(col: str) -> str:
+def _srp_band_duck(col: str, first_plane: int = 0, n_planes: int = _SRP_PLANES) -> str:
+    """DuckDB twin of _srp_band_spark (same plane literals per index)."""
     return " + ".join(
-        f"(CASE WHEN {_dot_plane_duck(col, j)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(_SRP_PLANES)
+        f"(CASE WHEN {_dot_plane_duck(col, first_plane + j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
     )
+
+
+def _srp_bucket_duck(col: str) -> str:
+    return _srp_band_duck(col, 0, _SRP_PLANES)
 
 
 @query(

@@ -47,13 +47,17 @@ _SEQ = itertools.count()
 LAST_STATE_ROWS: dict[str, int] = {}
 
 
-def _drain(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
+def _drain(
+    sdf: DataFrame, output_mode: str, timeout_s: int = 300, state_key: str = ""
+) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with AvailableNow and
     return the sink table. Unique query names allow repeated invocation
-    in one session (the driver calls each query at least twice)."""
-    import sys
+    in one session (the driver calls each query at least twice).
 
-    caller = sys._getframe(1).f_code.co_name
+    `state_key` names the LAST_STATE_ROWS entry explicitly (it was
+    derived via sys._getframe in round 8 — fragile under decoration or
+    refactor; observability only, no query logic depends on it)."""
+    caller = state_key or "anonymous"
     name = f"stream_sink_{next(_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
@@ -91,7 +95,7 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
         )
     )
-    out = _drain(agg, "complete")
+    out = _drain(agg, "complete", state_key="run_windowed_counts")
     return out.select(
         F.col("w.start").alias("day"), "event_type", "n", "total_value"
     ).orderBy("day", "event_type")
@@ -112,7 +116,7 @@ def run_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    out = _drain(agg, "complete")
+    out = _drain(agg, "complete", state_key="run_hopping_counts")
     return out.select(
         F.col("w.start").alias("w_start"),
         F.col("w.end").alias("w_end"),
@@ -132,7 +136,7 @@ def run_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "4 hours").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _drain(sess, "complete")
+    out = _drain(sess, "complete", state_key="run_sessionized")
     return out.select(
         "user_id",
         F.col("sw.start").alias("session_start"),
@@ -202,7 +206,7 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_stats, _STATE_OUT, _STATE, "update", GroupStateTimeout.NoTimeout
     )
-    out = _drain(st, "update")
+    out = _drain(st, "update", state_key="run_stateful_user_stats")
     # A key updated in several micro-batches emits once per batch in the
     # sink; the last emission per key is the final state.
     w = F.row_number().over(
@@ -229,7 +233,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
     )
-    out = _drain(agg, "complete")
+    out = _drain(agg, "complete", state_key="run_stream_static_join")
     return out.orderBy("c_nationkey")
 
 
@@ -265,7 +269,11 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
         ),
     )
-    out = _drain(j.select("purchase_id", "click_id", "p_user"), "append")
+    out = _drain(
+        j.select("purchase_id", "click_id", "p_user"),
+        "append",
+        state_key="run_stream_stream_join",
+    )
     return out.orderBy("purchase_id", "click_id")
 
 
@@ -299,7 +307,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = _drain(deduped, "append")
+    out = _drain(deduped, "append", state_key="run_stream_dedup")
     return out.orderBy("event_id")
 
 

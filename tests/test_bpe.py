@@ -123,3 +123,41 @@ def test_bpe_queries_match_oracle(spark, sf_dir, name):
     from .conftest import compare_with_oracle
 
     compare_with_oracle(spark, name, queries_dict()[name], oracles_dict()[name], sf_dir)
+
+
+def test_bpe_degenerate_fully_fused(spark, tmp_path):
+    """A corpus whose pairs are exhausted before _BPE_STEPS must carry
+    the previous segmentation forward, not empty the vocabulary — the
+    old CROSS JOIN against an empty per-step argmax emptied it on BOTH
+    engines, so oracle agreement alone hid the wrong semantics (round-8
+    ADVICE). Asserts cross-engine agreement AND the absolute answer."""
+    from makerdao_dw_spark.queries import oracles_dict, queries_dict
+
+    from .conftest import compare_with_oracle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one parquet FILE (not a Spark part-dir): the oracle side reads the
+    # same path with DuckDB's read_parquet
+    pq.write_table(
+        pa.table(
+            {"doc_id": [1, 2], "lang": ["en", "de"], "text": ["ab ab cd", "ab"]}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    qd, od = queries_dict(), oracles_dict()
+    for name in ("bpe_merge_train", "bpe_apply_fertility"):
+        compare_with_oracle(spark, name, qd[name], od[name], str(tmp_path))
+    # pairs exhaust after 2 merges: (a b) freq 3, then (c d) freq 1
+    train = qd["bpe_merge_train"](spark, str(tmp_path)).collect()
+    assert [(r["step"], r["pair"], r["cnt"]) for r in train] == [
+        (1, "a b", 3),
+        (2, "c d", 1),
+    ]
+    # every word fully fused -> vocabulary NON-empty, fertility exactly 1
+    fert = {
+        r["lang"]: (r["n_words"], r["n_tokens"], float(r["fertility"]))
+        for r in qd["bpe_apply_fertility"](spark, str(tmp_path)).collect()
+    }
+    assert fert == {"en": (3, 3, 1.0), "de": (1, 1, 1.0)}
