@@ -34,7 +34,14 @@ from ..operators.text_features import (
 )
 from ..session import configure, load_table
 from .registry import query
-from .similarity import _srp_bucket_duck, _srp_bucket_spark
+from .similarity import (
+    _NORM_POS_DUCK,
+    _cos_duck,
+    _srp_band_duck,
+    _srp_band_spark,
+    _srp_bucket_duck,
+    _srp_bucket_spark,
+)
 from .text_common import NORM_HASH_DUCK, norm_hash
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
@@ -450,6 +457,140 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nn_cosine",
             (F.col("nn_cosine") >= 0.3).alias("is_near_dup"),
             F.when((F.col("nn_cosine") >= 0.3) & (F.col("nn_id") < F.col("vec_id")), F.col("nn_id"))
+            .otherwise(F.col("vec_id"))
+            .alias("canonical_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Banded SRP near-dup: b OR-ed bands of r planes each. Band 0 reuses the
+# single-cell variant's planes 0-7, bands 1-3 use disjoint plane ranges
+# 8-15 / 16-23 / 24-31 — so the banded candidate set is a SUPERSET of
+# dedup_embedding_cosine's by construction (recall >= single-cell is
+# structural, and additionally measured in tests/test_ann_recall.py).
+_EC_BANDS = 4
+_EC_PLANES_PER_BAND = 8
+
+
+def _ec_band_hashes_duck() -> str:
+    return ", ".join(
+        _srp_band_duck("embedding", k * _EC_PLANES_PER_BAND, _EC_PLANES_PER_BAND)
+        for k in range(_EC_BANDS)
+    )
+
+
+@query(
+    "dedup_embedding_cosine_banded",
+    oracle=f"""
+WITH nz AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE {_NORM_POS_DUCK}
+), bands AS (
+    SELECT vec_id, label,
+           UNNEST([{_ec_band_hashes_duck()}]) AS h,
+           UNNEST([{", ".join(str(k) for k in range(_EC_BANDS))}]) AS b
+    FROM nz
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS nn_id
+    FROM bands a
+    JOIN bands c ON a.label = c.label AND a.b = c.b AND a.h = c.h
+               AND a.vec_id <> c.vec_id
+), scored AS (
+    SELECT p.vec_id, p.nn_id, {_cos_duck('x.embedding', 'y.embedding')} AS nn_cosine
+    FROM cand p
+    JOIN nz x ON p.vec_id = x.vec_id
+    JOIN nz y ON p.nn_id = y.vec_id
+), nn AS (
+    SELECT vec_id, nn_id, nn_cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY nn_cosine DESC, nn_id) AS rk
+    FROM scored
+)
+SELECT vec_id, nn_id, nn_cosine,
+       CASE WHEN nn_cosine >= 0.3 THEN TRUE ELSE FALSE END AS is_near_dup,
+       CASE WHEN nn_cosine >= 0.3 AND nn_id < vec_id THEN nn_id ELSE vec_id END AS canonical_id
+FROM nn WHERE rk = 1
+ORDER BY vec_id
+""",
+    tags=("dedup", "embedding", "cosine", "lsh"),
+)
+def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SRP embedding near-dup: the recall-recovery path the
+    single-cell variant's docstring promises — b = 4 OR-ed bands of
+    r = 8 planes each (32 bits total), candidates = pairs sharing
+    (label, band index, band hash) in ANY band.
+
+    Band match probability for a pair at angle theta is
+    1 - (1 - p^r)^b with p = 1 - theta/pi: at cosine 0.9 that is
+    ~75% vs the single cell's ~29% — and because band 0 IS the
+    single-cell variant's hash (same plane literals), the banded
+    candidate set is a superset, so recall >= single-cell holds
+    structurally, not just statistically (also measured:
+    tests/test_ann_recall.py pins the floor against exact top-1).
+
+    100 TB shape: the same dataflow as the single-cell variant run
+    b times via ONE posexplode + self-join — candidates are generated
+    keys-only ((vec_id, nn_id) through the band join; embeddings are
+    re-attached AFTER the distinct, so the wide vector payload never
+    rides the candidate shuffle), each band's cell population is
+    bounded by its r bits (r stays the knob that grows cells with the
+    corpus), and b multiplies candidate volume — compute traded for
+    recall, the standard production tuning. Exact cosine rescore +
+    per-vector top-1, threshold flag, canonical-id election — identical
+    output contract to dedup_embedding_cosine."""
+    from ..session import materialize
+    from .similarity import _dot_expr
+
+    e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
+    band_arr = "array(" + ", ".join(
+        _srp_band_spark("embedding", k * _EC_PLANES_PER_BAND, _EC_PLANES_PER_BAND)
+        for k in range(_EC_BANDS)
+    ) + ")"
+    # materialized: feeds the band melt (both self-join sides) AND the
+    # two rescore attachments — the 2048-literal band expression must
+    # evaluate once per vector, not once per consumer
+    en = materialize(
+        e.withColumn("nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})"))
+        .filter(F.col("nrm") > 0)
+        .withColumn("bands", F.expr(band_arr))
+    )
+    m = en.select("vec_id", "label", F.posexplode("bands").alias("b", "h"))
+    cand = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_id"), F.col("y.vec_id").alias("nn_id"))
+        .distinct()
+    )
+    av = en.select("vec_id", F.col("embedding").alias("av"), F.col("nrm").alias("an"))
+    bv = en.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = F.round(F.expr(_dot_expr("av", "bv")) / (F.col("an") * F.col("bn")), 6)
+    scored = (
+        cand.join(av, "vec_id").join(bv, "nn_id").select("vec_id", "nn_id", cos.alias("nn_cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("nn_cosine").desc(), "nn_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "nn_cosine",
+            (F.col("nn_cosine") >= 0.3).alias("is_near_dup"),
+            F.when(
+                (F.col("nn_cosine") >= 0.3) & (F.col("nn_id") < F.col("vec_id")),
+                F.col("nn_id"),
+            )
             .otherwise(F.col("vec_id"))
             .alias("canonical_id"),
         )
@@ -985,16 +1126,22 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       max df 25) vs doc-keyed 13.8 s (1.19M candidates x ~52
       shingles/doc) — token-keyed wins here by ~2x; the ratio flips
       when any shingle's df approaches sqrt(|cand| x n̄)."""
-    from ..session import materialize
+    from ..session import gc_hint, stage
 
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
-    # materialized: the token table now has FIVE consumers (df counts,
-    # ranked prefix, both legs of the overlap self-join, set sizes) —
-    # recomputing the explode+distinct shuffle per consumer quintuples
-    # the heaviest stage
-    toks = materialize(
-        d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct()
+    # staged (round 9), not persisted: the token table has FIVE
+    # consumers (df counts, ranked prefix, both legs of the overlap
+    # self-join, set sizes) — a single build is mandatory either way,
+    # but a persist pins the explode+distinct shuffle on disk for the
+    # whole query while five downstream fact-sized shuffles pile on
+    # top (the measured ~50 GB sf100 ceiling). The parquet cut lets
+    # the ContextCleaner reclaim each phase's shuffle temp mid-query:
+    # peak scratch becomes max-over-stages.
+    toks = stage(
+        d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct(),
+        "pf_toks",
     )
+    gc_hint(spark)
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # no global rank: the rarity TOTAL ORDER (df, token) is applied
     # inside each doc's window — the global row_number formulation
@@ -1015,13 +1162,22 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         <= F.col("n_toks") - F.expr(f"({_PF_NUM} * n_toks + {_PF_DEN} - 1) div {_PF_DEN}") + 1
     ).select("doc_id", "token")
-    cand = (
+    # the candidate pair table is staged too: it ends the prefix phase
+    # (df join + two doc windows + prefix self-join + distinct), so the
+    # cut lets that phase's shuffle temp be reclaimed before the verify
+    # phase's token-keyed self-join runs — the two heaviest phases never
+    # hold disk simultaneously. The staged frame is (doc_a, doc_b) ids
+    # only — KBs per million candidates.
+    cand = stage(
         prefix.alias("a")
         .join(prefix.alias("b"), "token")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .distinct(),
+        "pf_cand",
     )
+    tdf = ranked = prefix = None  # release the prefix phase's plans
+    gc_hint(spark)
     # array-free verify: the token-keyed self-join emits one tiny
     # (doc_a, doc_b) row per SHARED token — sum_t df(t)^2 rows total,
     # linear on this corpus because shingle df is corpus-bounded (see

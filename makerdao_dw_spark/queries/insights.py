@@ -311,21 +311,37 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     basket width; sort-merge hinted — see
     basket_common.basket_pair_join for why the un-hinted plan
     broadcasts the fact side). Only the u<v pair table is
-    materialized (half the edge volume); both directions derive
-    lazily from the checkpoint, so each vote round reads the 12M-row
-    checkpoint twice rather than re-running the pair join — O(E) data
-    motion per round with no driver state, the LPA shape that scales
-    to any edge count. Both rounds (and the tie-breaks) unroll into
+    checkpointed (half the edge volume), as a staged parquet cut —
+    not a persist: staging releases the entire pair-build working set
+    (basket caches + four fact-sized shuffles) MID-QUERY, so peak
+    scratch is max-over-stages, the round-9 fix for the sf100
+    single-node disk ceiling. Both directions derive lazily from the
+    checkpoint, so each vote round reads the 12M-row checkpoint twice
+    rather than re-running the pair join — O(E) data motion per round
+    with no driver state, the LPA shape that scales to any edge
+    count. Both rounds (and the tie-breaks) unroll into
     the DuckDB oracle. The basket build is the SHARED scaffold
     (basket_common.py) — market_basket_lift mines the same graph."""
+    from ..session import drop_materialized, gc_hint, stage
+
     li = _t(spark, sf_dir, "lineitem")
-    _baskets, _freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
-    pairs = (
+    baskets, freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
+    # stage(), not materialize(): the u<v pair table is the round
+    # checkpoint — a persist would keep the whole pair-build lineage
+    # (basket distinct + semi-join + SMJ self-join + pair distinct,
+    # ~half the query's shuffle temp) pinned on disk through both vote
+    # rounds, which is the measured single-node ceiling at sf100
+    # (~60 GB linear vs 59 GB free, round 8). The parquet cut +
+    # mid-query release turns peak scratch into max-over-stages.
+    pairs = stage(
         basket_pair_join(fb)
         .select(F.col("b1.p").alias("u"), F.col("b2.p").alias("v"))
-        .distinct()
-        .transform(materialize)
+        .distinct(),
+        "lpa_pairs",
     )
+    drop_materialized(baskets, freq)
+    baskets = freq = fb = None
+    gc_hint(spark)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -140,8 +140,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1-dir", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--sf10-dir", default="/tmp/spark_graft_sf10",
+                    help="third decade (100x arrival rate); skipped if absent")
     ap.add_argument("--files", type=int, default=30)
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_dedup_state_r8.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_dedup_state_r9.json"))
     args = ap.parse_args()
 
     from makerdao_dw_spark.session import get_spark
@@ -151,7 +153,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     result: dict = {"files_per_stream": args.files, "watermark_horizon": "1 hour"}
     try:
-        for label, d in (("sf0.1", args.sf01_dir), ("sf1", args.sf1_dir)):
+        decades = [("sf0.1", args.sf01_dir), ("sf1", args.sf1_dir)]
+        if os.path.isdir(args.sf10_dir):
+            decades.append(("sf10", args.sf10_dir))
+        for label, d in decades:
             src, n_keys = split_time_ordered(spark, d, args.files)
             bounded = run_variant(spark, src, bounded=True)
             unbounded = run_variant(spark, src, bounded=False)
@@ -168,17 +173,25 @@ def main() -> None:
             }
     finally:
         spark.stop()
-    b01 = result["sf0.1"]["bounded"]["final_state_rows"]
-    b1 = result["sf1"]["bounded"]["final_state_rows"]
-    u01 = result["sf0.1"]["unbounded"]["final_state_rows"]
-    u1 = result["sf1"]["unbounded"]["final_state_rows"]
+    labels = [lbl for lbl, _ in decades if lbl in result]
     result["summary"] = {
-        "bounded_state_ratio_10x_input": round(b1 / max(b01, 1), 2),
-        "unbounded_state_ratio_10x_input": round(u1 / max(u01, 1), 2),
+        "bounded_state_ratio_per_decade": {
+            f"{a}->{b}": round(
+                result[b]["bounded"]["final_state_rows"]
+                / max(result[a]["bounded"]["final_state_rows"], 1), 2)
+            for a, b in zip(labels, labels[1:])
+        },
+        "unbounded_state_ratio_per_decade": {
+            f"{a}->{b}": round(
+                result[b]["unbounded"]["final_state_rows"]
+                / max(result[a]["unbounded"]["final_state_rows"], 1), 2)
+            for a, b in zip(labels, labels[1:])
+        },
         "note": (
-            "same 30-day span at both SFs -> 10x input = 10x arrival rate; "
-            "bounded state tracks rate x horizon (corpus-fraction shrinks "
-            "with scale), unbounded tracks corpus cardinality 1:1"
+            "same 30-day span at every SF -> 10x input = 10x arrival rate; "
+            "bounded state tracks rate x horizon (corpus-fraction constant "
+            "under rate scaling, and would be FLAT at constant rate), "
+            "unbounded tracks corpus cardinality 1:1"
         ),
     }
     with open(args.out, "w") as f:

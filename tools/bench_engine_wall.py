@@ -61,7 +61,8 @@ def main() -> None:
         nargs="+",
         default=["sf1=/tmp/spark_graft_sf1", "sf10=/tmp/spark_graft_sf10"],
     )
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_engine_wall_r8.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_engine_wall_r9.json"))
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
     names = args.queries or QUERIES
@@ -76,7 +77,7 @@ def main() -> None:
     result: dict = {}
     try:
         for label, d in dirs:
-            result[label] = {n: engine_wall(spark, qd[n], d) for n in names}
+            result[label] = {n: engine_wall(spark, qd[n], d, n=args.reps) for n in names}
     finally:
         spark.stop()
     if len(dirs) == 2:
