@@ -118,9 +118,18 @@ def configure(spark: SparkSession) -> SparkSession:
     # shuffle-partition count must be sane: match the session's
     # parallelism instead of the 200 default (which costs ~170 empty
     # state-store tasks per micro-batch on a small cluster).
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(spark.sparkContext.defaultParallelism, 8))
-    )
+    #
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides (round-10 fix): every
+    # registered query routes through here, so an unconditional reset
+    # silently UNDID any partition count a bench harness set on the
+    # session — the round-9 "256-partition" sf100 figures were actually
+    # measured at 32 (ADVICE r9, high). A harness that wants a scaled
+    # partition count must set the env var, not spark.conf (which this
+    # function owns).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if not shuffle_parts:
+        shuffle_parts = str(max(spark.sparkContext.defaultParallelism, 8))
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
     # Reliable-checkpoint dir for iterative operators (graph.py): an env
     # var so the driver harness's vanilla session can opt in without code.
     # Set HERE (the explicit session-configuration step), not inside the
@@ -231,6 +240,81 @@ def materialize(df: DataFrame) -> DataFrame:
 
 _STAGED_PENDING: list[tuple[int, str]] = []  # staged dirs awaiting deletion
 _STAGED_LIVE: list[tuple[int, str]] = []  # staged dirs the current query may read
+_STAGED_ATEXIT_REGISTERED = False
+
+
+def _staging_root(spark: SparkSession) -> str | None:
+    """Resolve the shared staging root for stage() dirs, or None for the
+    driver-local tempdir fallback (valid ONLY under a local[*] master —
+    on a multi-node cluster executors write parquet partitions to THEIR
+    OWN filesystems, so a driver-local path reads back missing data,
+    exactly like sparkContext.setCheckpointDir's DFS requirement).
+
+    Resolution order:
+      1. spark.makerdao.staging.dir session conf (per-session override)
+      2. $SPARK_GRAFT_STAGING_DIR
+      3. $SPARK_GRAFT_CHECKPOINT_DIR/_staging (reuse the existing
+         shared-checkpoint contract — same dir the reliable-checkpoint
+         path uses, so one env var provisions both)
+      4. the context's checkpoint dir, if one was set (already DFS-valid)
+    """
+    root = None
+    try:
+        root = spark.conf.get("spark.makerdao.staging.dir", None)
+    except Exception:  # pragma: no cover — conf access on a stopped session
+        pass
+    if not root:
+        root = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+    if not root:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckpt:
+            root = ckpt.rstrip("/") + "/_staging"
+    if not root:
+        ckpt = spark.sparkContext.getCheckpointDir()
+        if ckpt:
+            root = ckpt.rstrip("/") + "/_staging"
+    # getCheckpointDir renders local dirs as file:/... URIs — normalize
+    # those to plain paths so os.makedirs/shutil see a filesystem path;
+    # genuine DFS URIs (hdfs://, s3a://) pass through untouched.
+    if root and root.startswith("file:"):
+        from urllib.parse import urlparse
+
+        root = urlparse(root).path or root[len("file:"):]
+    return root
+
+
+def _rm_staged(d: str) -> None:
+    """Delete a staged dir. Local paths via shutil; URI schemes (hdfs://,
+    s3a://, file://) via the active JVM's Hadoop FileSystem."""
+    if "://" not in d:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        return
+    try:  # pragma: no cover — exercised only with a DFS staging root
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        path.getFileSystem(hconf).delete(path, True)
+    except Exception:
+        pass  # best-effort: a leaked DFS dir beats a crashed cleanup
+
+
+def cleanup_staged() -> None:
+    """Remove EVERY still-registered staged dir, all threads — the
+    session-stop/atexit hook (round-10 fix for the long-driver leak:
+    the two-generation lifecycle only deletes a dir when the SAME
+    thread issues two more registered queries, so the final query's
+    staged dirs — and any stopped thread's — survived the process)."""
+    with _MATERIALIZED_LOCK:
+        doomed = [d for _, d in _STAGED_PENDING] + [d for _, d in _STAGED_LIVE]
+        _STAGED_PENDING.clear()
+        _STAGED_LIVE.clear()
+    for d in doomed:
+        _rm_staged(d)
 
 
 def stage(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -256,15 +340,47 @@ def stage(df: DataFrame, name: str = "stage") -> DataFrame:
     TWO top-level query entries (deleted one release-cycle later than
     caches): a deleted stage file would be a FileNotFound on re-read,
     not a recompute, so the lifecycle is deliberately one generation
-    more conservative than unpersist."""
-    import tempfile
+    more conservative than unpersist.
 
+    Placement (round 10): dirs root at _staging_root() — a shared,
+    configurable location (session conf spark.makerdao.staging.dir,
+    $SPARK_GRAFT_STAGING_DIR, or the checkpoint-dir contract). On a
+    MULTI-NODE cluster a shared root is REQUIRED (executors write
+    partitions to their own filesystems; a driver-local path reads back
+    partial data) — exactly setCheckpointDir's rule, enforced here: the
+    driver-local tempdir fallback is only taken under a local[*]
+    master. All still-live dirs are removed at interpreter exit
+    (cleanup_staged, atexit) so long driver sessions don't leak."""
+    import tempfile
+    import uuid
+
+    global _STAGED_ATEXIT_REGISTERED
     spark = df.sparkSession
-    d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
-    path = os.path.join(d, "data")
+    root = _staging_root(spark)
+    if root is None:
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "session.stage() needs a SHARED staging root on a cluster "
+                f"(master={master!r}): set spark.makerdao.staging.dir, "
+                "$SPARK_GRAFT_STAGING_DIR, or a checkpoint dir — a "
+                "driver-local temp path would silently drop executor-"
+                "written partitions on read-back"
+            )
+        d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    else:
+        d = root.rstrip("/") + f"/spark_graft_{name}_{uuid.uuid4().hex}"
+        if "://" not in d:
+            os.makedirs(d, exist_ok=True)
+    path = d + "/data"
     df.write.mode("overwrite").parquet(path)
     with _MATERIALIZED_LOCK:
         _STAGED_LIVE.append((threading.get_ident(), d))
+        if not _STAGED_ATEXIT_REGISTERED:
+            import atexit
+
+            atexit.register(cleanup_staged)
+            _STAGED_ATEXIT_REGISTERED = True
     return spark.read.parquet(path)
 
 
@@ -326,10 +442,8 @@ def release_materialized() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped; nothing to release
-    import shutil
-
     for d in doomed:
-        shutil.rmtree(d, ignore_errors=True)
+        _rm_staged(d)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

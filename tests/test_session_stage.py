@@ -56,9 +56,80 @@ def test_drop_materialized_releases_early(spark):
     assert df.count() == 50
 
 
+def test_configure_honors_shuffle_partition_override(spark, monkeypatch):
+    """Round-10 fix for the ADVICE-high silent no-op: configure() runs at
+    EVERY registered query's entry, so its unconditional reset of
+    spark.sql.shuffle.partitions undid any scaled partition count a
+    bench harness set — the r9 '256-partition' sf100 figures actually
+    ran at 32. $SPARK_GRAFT_SHUFFLE_PARTITIONS must survive configure."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+        S.configure(spark)
+        assert spark.conf.get(key) == "256"
+        # and a query-layer entry (query_table -> configure) keeps it too
+        monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        S.configure(spark)
+        assert spark.conf.get(key) == str(
+            max(spark.sparkContext.defaultParallelism, 8)
+        ), "without the env var configure() restores the parallelism default"
+    finally:
+        spark.conf.set(key, prior)
+
+
 def test_gc_hint_is_safe_noop(spark):
     # best-effort: must never raise, with or without an active session
     S.gc_hint(spark)
+
+
+def test_stage_honors_custom_staging_root(spark, tmp_path, monkeypatch):
+    """Round 10: stage() roots under a shared, configurable location —
+    on a multi-node cluster executors write parquet partitions to their
+    own filesystems, so a driver-local mkdtemp path silently reads back
+    partial data. $SPARK_GRAFT_STAGING_DIR (or the session conf /
+    checkpoint-dir contract) must win over the local-only fallback."""
+    root = str(tmp_path / "shared_staging")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", root)
+    before = set(_staged_dirs())
+    staged = S.stage(spark.range(20).selectExpr("id"), "rooted")
+    new = [d for d in _staged_dirs() if d not in before]
+    assert len(new) == 1 and new[0].startswith(root), new
+    assert staged.count() == 20
+    # conf override beats the env var (per-session control)
+    spark.conf.set("spark.makerdao.staging.dir", str(tmp_path / "conf_root"))
+    try:
+        S.stage(spark.range(5), "conf_rooted")
+        newest = [d for d in _staged_dirs() if d not in before and d not in new]
+        assert len(newest) == 1 and newest[0].startswith(str(tmp_path / "conf_root"))
+    finally:
+        spark.conf.unset("spark.makerdao.staging.dir")
+    S.cleanup_staged()
+
+
+def test_cleanup_staged_removes_everything(spark):
+    """The atexit/session-stop hook: the two-generation lifecycle only
+    deletes a dir after two MORE registered queries on the same thread,
+    so the final query's staged dirs leak without this (ADVICE r9)."""
+    import threading
+
+    before = set(_staged_dirs())
+    S.stage(spark.range(3), "leak_a")
+    # a dir staged by a thread that never issues another query
+    t = threading.Thread(target=lambda: S.stage(spark.range(3), "leak_b"))
+    t.start()
+    t.join()
+    # and one already aged into pending
+    S.stage(spark.range(3), "leak_c")
+    S.release_materialized()
+    leaked = [d for d in _staged_dirs() if d not in before]
+    assert len(leaked) == 3
+    S.cleanup_staged()
+    assert not _staged_dirs()
+    for d in leaked:
+        assert not os.path.exists(d), f"cleanup_staged left {d}"
+    # registered with atexit so a plain interpreter exit also cleans up
+    assert S._STAGED_ATEXIT_REGISTERED
 
 
 def test_stage_dirs_are_thread_owned(spark):
