@@ -99,7 +99,78 @@ HEADLINE = [
     "text_tfidf_topterms",      # two-phase term statistics
     "salted_skew_aggregate",    # skew-salted aggregation
     "streaming_windowed_counts",  # structured-streaming windowed agg
+    # added round 10 (r9 VERDICT item 8): a staged/banded family
+    # representative so the driver bench exercises the stage() path
+    "dedup_embedding_cosine_banded",
 ]
+
+# Suite-composition changes, so cross-round totals self-explain.
+SUITE_CHANGES = "r10: +dedup_embedding_cosine_banded (16 queries; r1-r9 totals cover 15)"
+
+
+def _scratch_gb(spark) -> float:
+    """Current Spark shuffle/scratch usage (blockmgr-*/spark-* under
+    spark.local.dir), GB — per-query telemetry so future 'disk ceiling'
+    conversations are data, not guesses (round-9 VERDICT item 6)."""
+    import subprocess
+
+    local = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
+    total = 0
+    for d in local.split(","):
+        try:
+            for entry in os.listdir(d):
+                if entry.startswith(("blockmgr-", "spark-")):
+                    out = subprocess.run(
+                        ["du", "-sb", os.path.join(d, entry)],
+                        capture_output=True,
+                        text=True,
+                    ).stdout
+                    total += int(out.split()[0]) if out else 0
+        except OSError:
+            continue
+    return round(total / 1e9, 2)
+
+
+# Within-run drift above this is host contention: per-run normalization
+# by ONE session median cannot repair a box that got busier MID-run
+# (the committed r9 artifact drifted start 1.326s -> end 2.025s, +53%,
+# and read as a fake 1.79x regression until a manual idle-host rerun).
+CONTENTION_DRIFT = 0.20
+
+
+def _run_suite(spark) -> dict:
+    """One full timed pass: start calibration, every headline query
+    (min-of-3, scratch telemetry), end calibration."""
+    calib_start = calibrate(spark)
+    timings: dict[str, float] = {}
+    scratch: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        # min of 3: the first run pays codegen/JIT, and this box's
+        # host-level noise swings single runs up to 5x — the min is the
+        # steady-state throughput number (what a cluster would see).
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(best, 3)
+        scratch[name] = _scratch_gb(spark)
+    calib_end = calibrate(spark)
+    start_med = statistics.median(calib_start)
+    end_med = statistics.median(calib_end)
+    return {
+        "timings": timings,
+        "scratch_gb": scratch,
+        "total": round(sum(timings.values()), 3),
+        "calib_start": calib_start,
+        "calib_end": calib_end,
+        "start_median": round(start_med, 3),
+        "end_median": round(end_med, 3),
+        "session_median": round(statistics.median(calib_start + calib_end), 3),
+        "within_run_drift": round(abs(end_med / start_med - 1.0), 3),
+    }
 
 
 def main() -> None:
@@ -113,28 +184,19 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, SF_DIR, t).count()
 
-    calib_start = calibrate(spark)
+    # Contention gate (round 10): if the calibration drifted >20% WITHIN
+    # the run, the box got busier/quieter mid-suite and the per-query
+    # mins are not one host speed — rerun once; if the drift persists,
+    # stamp contended=true and carry BOTH runs so the artifact
+    # self-labels instead of reading as a code regression.
+    runs = [_run_suite(spark)]
+    if runs[0]["within_run_drift"] > CONTENTION_DRIFT:
+        runs.append(_run_suite(spark))
+    primary = min(runs, key=lambda r: r["within_run_drift"])
+    contended = primary["within_run_drift"] > CONTENTION_DRIFT
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        # min of 3: the first run pays codegen/JIT, and this box's
-        # host-level noise swings single runs up to 5x — the min is the
-        # steady-state throughput number (what a cluster would see).
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-            assert rows is not None
-        timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
-
-    calib_end = calibrate(spark)
-    # Median over BOTH ends' samples = the session's typical speed
-    # (matching the conditions the per-query mins were measured under);
-    # the per-end medians expose WITHIN-run drift in the artifact.
-    calib = statistics.median(calib_start + calib_end)
+    calib = primary["session_median"]
+    total = primary["total"]
     # Host-speed sanity flag (round-9 ADVICE): when the session runs
     # >20% off the reference host speed, the RAW total moves with the
     # host and only value_normalized is comparable across rounds — say
@@ -147,26 +209,45 @@ def main() -> None:
         if abs(drift - 1.0) > 0.20
         else "host speed within 20% of reference"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration": {
-                    "start_median_sec": round(statistics.median(calib_start), 3),
-                    "end_median_sec": round(statistics.median(calib_end), 3),
-                    "session_median_sec": round(calib, 3),
-                    "ref_sec": CALIBRATION_REF_SEC,
-                    "estimator": CALIBRATION_ESTIMATOR,
-                    "host_speed_note": host_note,
-                },
-                "value_normalized": round(total * CALIBRATION_REF_SEC / calib, 3),
-            }
+    artifact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": primary["timings"],
+        "scratch_gb": primary["scratch_gb"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": {
+            "start_median_sec": primary["start_median"],
+            "end_median_sec": primary["end_median"],
+            "session_median_sec": calib,
+            "within_run_drift": primary["within_run_drift"],
+            "ref_sec": CALIBRATION_REF_SEC,
+            "estimator": CALIBRATION_ESTIMATOR,
+            "host_speed_note": host_note,
+        },
+        "value_normalized": round(total * CALIBRATION_REF_SEC / calib, 3),
+        "suite_changes": SUITE_CHANGES,
+    }
+    if len(runs) > 1:
+        artifact["contended"] = contended
+        artifact["contention_note"] = (
+            f"within-run calibration drift {runs[0]['within_run_drift']:.0%} "
+            f"exceeded {CONTENTION_DRIFT:.0%}; suite rerun once "
+            f"(rerun drift {runs[1]['within_run_drift']:.0%}); primary = "
+            f"run {runs.index(primary) + 1}"
+            + ("; BOTH runs contended — treat value with suspicion" if contended else "")
         )
-    )
+        artifact["runs"] = [
+            {
+                "total": r["total"],
+                "queries": r["timings"],
+                "start_median_sec": r["start_median"],
+                "end_median_sec": r["end_median"],
+                "within_run_drift": r["within_run_drift"],
+            }
+            for r in runs
+        ]
+    print(json.dumps(artifact))
     spark.stop()
 
 
