@@ -6,6 +6,8 @@ fails CI rather than shipping as a silent 10x.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from makerdao_dw_spark.queries import REGISTRY
@@ -638,7 +640,14 @@ def test_prefix_filter_single_tokenize(spark):
     assert len(leaves) >= 5, leaves
     allowed = {"doc_id", "token", "doc_a", "doc_b"}
     for s in leaves:
-        cols = {c.split("#")[0] for c in s.split("[", 1)[1].split("]", 1)[0].split(",")}
+        # LogicalRelation simpleString renders "Relation ... [col#1,col#2]
+        # parquet" — extract the bracketed output list with a guarded
+        # regex (ADVICE r9: a bare split('[',1)[1] raises IndexError,
+        # not a readable assertion, if a Spark version renders brackets
+        # differently)
+        m = re.search(r"\[([^\]]*)\]", s)
+        assert m, f"no bracketed column list in LogicalRelation render: {s!r}"
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
         assert cols <= allowed, (cols, s)  # never the raw documents table
     # the tokenize explode must not appear above the staging boundary
     assert not any("split(" in x for _, x in nodes)
