@@ -311,43 +311,75 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     basket width; sort-merge hinted — see
     basket_common.basket_pair_join for why the un-hinted plan
     broadcasts the fact side). Only the u<v pair table is
-    checkpointed (half the edge volume), as a staged parquet cut —
-    not a persist: staging releases the entire pair-build working set
+    checkpointed (half the edge volume), as TWO BUCKETED staged
+    copies (round 10; round 9 used a plain staged parquet) — not a
+    persist: staging releases the entire pair-build working set
     (basket caches + four fact-sized shuffles) MID-QUERY, so peak
-    scratch is max-over-stages, the round-9 fix for the sf100
-    single-node disk ceiling. Both directions derive lazily from the
-    checkpoint, so each vote round reads the 12M-row checkpoint twice
-    rather than re-running the pair join — O(E) data motion per round
-    with no driver state, the LPA shape that scales to any edge
-    count. Both rounds (and the tie-breaks) unroll into
-    the DuckDB oracle. The basket build is the SHARED scaffold
-    (basket_common.py) — market_basket_lift mines the same graph."""
-    from ..session import drop_materialized, gc_hint, stage
+    scratch is max-over-stages (the round-9 fix for the sf100
+    single-node disk ceiling), and bucketing by each endpoint elides
+    the edge-sided exchange from every per-round consumer keyed on
+    it, so a vote round moves ONE edge-sized shuffle instead of
+    three — O(E) data motion per round with no driver state, the LPA
+    shape that scales to any edge count. Both rounds (and the
+    tie-breaks) unroll into the DuckDB oracle. The basket build is
+    the SHARED scaffold (basket_common.py) — market_basket_lift mines
+    the same graph."""
+    from ..session import drop_materialized, gc_hint, stage_bucketed
 
     li = _t(spark, sf_dir, "lineitem")
     baskets, freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
-    # stage(), not materialize(): the u<v pair table is the round
-    # checkpoint — a persist would keep the whole pair-build lineage
-    # (basket distinct + semi-join + SMJ self-join + pair distinct,
-    # ~half the query's shuffle temp) pinned on disk through both vote
-    # rounds, which is the measured single-node ceiling at sf100
-    # (~60 GB linear vs 59 GB free, round 8). The parquet cut +
-    # mid-query release turns peak scratch into max-over-stages.
-    pairs = stage(
+    # stage_bucketed(), not materialize() or plain stage() (round 10):
+    # the u<v pair table is the round checkpoint. A persist would keep
+    # the whole pair-build lineage (~half the query's shuffle temp)
+    # pinned through both vote rounds — the measured single-node
+    # ceiling at sf100 (round 8); the staged cut + mid-query release
+    # turns peak scratch into max-over-stages (round 9). Round 10
+    # stages TWO BUCKETED copies (by u and by v): every per-round
+    # consumer keyed on the bucket key — both direction-wise min
+    # aggregates and both vote joins — plans with the edge-sided
+    # exchange ELIDED, so a vote round's data motion drops from ~three
+    # edge-sized shuffles to ONE (the repartition feeding the vote
+    # argmax below). That is the iterative-graph idiom at 100 TB: pay
+    # the edge partitioning once at stage time, not K times per round.
+    pairs_uv = (
         basket_pair_join(fb)
         .select(F.col("b1.p").alias("u"), F.col("b2.p").alias("v"))
-        .distinct(),
-        "lpa_pairs",
+        .distinct()
     )
+    by_u = stage_bucketed(pairs_uv, "u", "lpa_pairs_u")
     drop_materialized(baskets, freq)
-    baskets = freq = fb = None
+    baskets = freq = fb = pairs_uv = None
     gc_hint(spark)
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # second copy derives from the FIRST staged table (a columnar
+    # re-read + one repartition), never re-runs the pair build
+    by_v = stage_bucketed(by_u, "v", "lpa_pairs_v")
+    # round 1: min neighbor over both directions — each directional min
+    # is a zero-exchange aggregate on its aligned copy; the full-outer
+    # merge is node-cardinality. least() skips NULLs on both engines.
+    l1 = (
+        by_u.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mv"))
+        .join(
+            by_v.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("mu")),
+            "node",
+            "full",
+        )
+        .select("node", F.least("mv", "mu").alias("label"))
     )
-    l1 = edges.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    # round 2 votes: each pair (u,v) contributes u <- label(v) (from the
+    # v-bucketed copy) and v <- label(u) (from the u-bucketed copy) —
+    # the pair side of both joins needs no exchange. The explicit
+    # repartition on the voter key is the round's ONE edge-sized
+    # shuffle: HashPartitioning(u) satisfies the (u,label) grouping AND
+    # the argmax's (u) grouping, so both aggregates below it are
+    # exchange-free.
+    va = by_v.join(l1.withColumnRenamed("node", "v"), "v").select("u", "label")
+    vb = by_u.join(l1.withColumnRenamed("node", "u"), "u").select(
+        F.col("v").alias("u"), "label"
+    )
     votes = (
-        edges.join(l1.withColumnRenamed("node", "v"), "v")
+        va.unionByName(vb)
+        .repartition(F.col("u"))
         .groupBy(F.col("u").alias("node"), "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )

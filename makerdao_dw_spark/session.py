@@ -283,9 +283,24 @@ def _staging_root(spark: SparkSession) -> str | None:
     return root
 
 
+# staged dir -> catalog table name, for stage_bucketed() cleanup (the
+# table entry must be dropped along with its files; a stopped session's
+# in-memory catalog dies with it, so the drop is best-effort)
+_STAGED_TABLES: dict[str, str] = {}
+
+
 def _rm_staged(d: str) -> None:
     """Delete a staged dir. Local paths via shutil; URI schemes (hdfs://,
-    s3a://, file://) via the active JVM's Hadoop FileSystem."""
+    s3a://, file://) via the active JVM's Hadoop FileSystem. Bucketed
+    stages also drop their catalog entry."""
+    tbl = _STAGED_TABLES.pop(d, None)
+    if tbl is not None:
+        try:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:
+            pass  # session stopped: the in-memory catalog is gone anyway
     if "://" not in d:
         import shutil
 
@@ -382,6 +397,69 @@ def stage(df: DataFrame, name: str = "stage") -> DataFrame:
             atexit.register(cleanup_staged)
             _STAGED_ATEXIT_REGISTERED = True
     return spark.read.parquet(path)
+
+
+def stage_bucketed(
+    df: DataFrame, key: str, name: str = "stage", n_buckets: int | None = None
+) -> DataFrame:
+    """stage() variant that writes the checkpoint as a BUCKETED catalog
+    table: the same hard lineage cut, plus every later join/groupBy ON
+    THE BUCKET KEY plans with the staged side's exchange ELIDED
+    (HashPartitioning(key, n_buckets) is trusted from the layout, and
+    the single sorted file per bucket elides the SMJ sort too).
+
+    This is the iterative-query idiom at 100 TB: an edge table consumed
+    K times per round pays its partitioning shuffle ONCE at stage time
+    instead of K times per round — for label propagation it removes two
+    edge-sized exchanges per vote round (see queries/insights.py).
+    repartition(n, key) before the write yields exactly one file per
+    bucket (without it, every writer task emits a file per bucket:
+    tasks x buckets files, and multi-file buckets lose the sort
+    elision).
+
+    n_buckets defaults to the session's shuffle-partition setting so a
+    partition-count experiment (SPARK_GRAFT_SHUFFLE_PARTITIONS) scales
+    the bucket layout with it. Same two-generation lifecycle and shared
+    staging-root rules as stage(); the catalog entry is dropped with
+    the files."""
+    import tempfile
+    import uuid
+
+    global _STAGED_ATEXIT_REGISTERED
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    root = _staging_root(spark)
+    if root is None:
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "session.stage_bucketed() needs a SHARED staging root on "
+                f"a cluster (master={master!r}) — see stage()"
+            )
+        d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    else:
+        d = root.rstrip("/") + f"/spark_graft_{name}_{uuid.uuid4().hex}"
+        if "://" not in d:
+            os.makedirs(d, exist_ok=True)
+    tbl = f"spark_graft_staged_{name}_{uuid.uuid4().hex[:12]}"
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", d + "/data")
+        .saveAsTable(tbl)
+    )
+    with _MATERIALIZED_LOCK:
+        _STAGED_LIVE.append((threading.get_ident(), d))
+        _STAGED_TABLES[d] = tbl
+        if not _STAGED_ATEXIT_REGISTERED:
+            import atexit
+
+            atexit.register(cleanup_staged)
+            _STAGED_ATEXIT_REGISTERED = True
+    return spark.table(tbl)
 
 
 def gc_hint(spark: SparkSession) -> None:

@@ -107,6 +107,37 @@ def test_stage_honors_custom_staging_root(spark, tmp_path, monkeypatch):
     S.cleanup_staged()
 
 
+def test_stage_bucketed_layout_and_lifecycle(spark):
+    """stage_bucketed: same two-generation lifecycle as stage(), plus
+    the staged table's bucket layout elides the staged side's exchange
+    for joins/groupBys on the bucket key (the iterative-query idiom:
+    pay the edge partitioning once at stage time, not K times/round)."""
+    df = spark.range(1000).selectExpr("id % 97 AS k", "id AS payload")
+    before = set(_staged_dirs())
+    staged = S.stage_bucketed(df, "k", "unitb", n_buckets=8)
+    new = [d for d in _staged_dirs() if d not in before]
+    assert len(new) == 1
+    d = new[0]
+    assert d in S._STAGED_TABLES
+    tbl = S._STAGED_TABLES[d]
+    assert spark.catalog.tableExists(tbl)
+    # value identity
+    assert sorted(tuple(r) for r in staged.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # a groupBy on the bucket key plans with NO exchange on the staged
+    # side (the layout is trusted as HashPartitioning(k, 8))
+    agg_plan = staged.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan, agg_plan
+    # two-generation deletion drops the dir AND the catalog entry
+    S.release_materialized()
+    assert os.path.isdir(d) and spark.catalog.tableExists(tbl)
+    S.release_materialized()
+    assert not os.path.exists(d)
+    assert not spark.catalog.tableExists(tbl)
+    assert d not in S._STAGED_TABLES
+
+
 def test_cleanup_staged_removes_everything(spark):
     """The atexit/session-stop hook: the two-generation lifecycle only
     deletes a dir after two MORE registered queries on the same thread,
