@@ -1126,7 +1126,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       max df 25) vs doc-keyed 13.8 s (1.19M candidates x ~52
       shingles/doc) — token-keyed wins here by ~2x; the ratio flips
       when any shingle's df approaches sqrt(|cand| x n̄)."""
-    from ..session import gc_hint, stage
+    from ..session import gc_hint, stage, stage_bucketed
 
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     # staged (round 9), not persisted: the token table has FIVE
@@ -1136,9 +1136,18 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole query while five downstream fact-sized shuffles pile on
     # top (the measured ~50 GB sf100 ceiling). The parquet cut lets
     # the ContextCleaner reclaim each phase's shuffle temp mid-query:
-    # peak scratch becomes max-over-stages.
-    toks = stage(
+    # peak scratch becomes max-over-stages. BUCKETED by token
+    # (round 10): four of the five consumers key on token — the df
+    # aggregate, the ranked df-join (whose tdf side inherits the same
+    # partitioning from its now-exchange-free aggregate, making the
+    # join zero-exchange end to end), and BOTH legs of the verify
+    # self-join (the query's heaviest phase, whose two token-sorted
+    # SMJ sorts are also elided by the one-sorted-file-per-bucket
+    # layout) — so the token table's partitioning shuffle is paid once
+    # at stage time instead of four times downstream.
+    toks = stage_bucketed(
         d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct(),
+        "token",
         "pf_toks",
     )
     gc_hint(spark)

@@ -260,6 +260,10 @@ _SIG_PLUS_MU = (
 # Two-round synchronous label propagation over the co-purchase graph
 # ---------------------------------------------------------------------------
 _LPA_MIN_ITEM = 5  # frequent-item gate for the pair join (apriori)
+# vote rows per reducer in LPA's fused vote stage: bounds the per-task
+# hash-aggregate working set (~8M rows x ~24 B of agg state ≈ 200 MB)
+# independent of corpus size — see the repartition note in the query
+_LPA_VOTE_ROWS_PER_TASK = 8_000_000
 
 
 @query(
@@ -377,9 +381,23 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     vb = by_u.join(l1.withColumnRenamed("node", "u"), "u").select(
         F.col("v").alias("u"), "label"
     )
+    # The explicit repartition sizes ITSELF from the edge count instead
+    # of inheriting spark.sql.shuffle.partitions: the fused stage below
+    # it (SMJ + union + two chained hash aggregates, all exchange-free)
+    # holds more per-task state than the old many-exchange plan, and a
+    # pinned-low partition count puts a whole-corpus fraction in one
+    # task (measured at sf100: 2.4B vote rows / 32 = 75M rows/task =
+    # SparkOutOfMemoryError; /256 = 9.4M rows/task completes). This is
+    # the per-operator form of AQE's initialPartitionNum: partition
+    # count grows with the data, bounded per-task working set. The
+    # count() is a cheap columnar count-star on the staged table.
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-2 * by_u.count() // _LPA_VOTE_ROWS_PER_TASK),
+    )
     votes = (
         va.unionByName(vb)
-        .repartition(F.col("u"))
+        .repartition(n_parts, F.col("u"))
         .groupBy(F.col("u").alias("node"), "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
