@@ -328,7 +328,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     tie-breaks) unroll into the DuckDB oracle. The basket build is
     the SHARED scaffold (basket_common.py) — market_basket_lift mines
     the same graph."""
-    from ..session import drop_materialized, gc_hint, stage_bucketed
+    from ..session import drop_materialized, gc_hint, stage, stage_bucketed
 
     li = _t(spark, sf_dir, "lineitem")
     baskets, freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
@@ -350,13 +350,25 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("b1.p").alias("u"), F.col("b2.p").alias("v"))
         .distinct()
     )
-    by_u = stage_bucketed(pairs_uv, "u", "lpa_pairs_u")
+    # plain cut FIRST: it ends the pair-build phase (so its four
+    # fact-sized shuffles are reclaimable before anything else runs)
+    # and its count sizes the bucket layout — a bucketed scan is one
+    # task per bucket, so the BUCKET count must grow with the data
+    # exactly like the vote partitions below (measured at sf100:
+    # 1.2B pairs / 32 buckets = 37.5M rows/task streaming into the
+    # fused sort+SMJ+shuffle-write stage = SparkOutOfMemoryError;
+    # /150 buckets completes). Cost: one extra E-row parquet
+    # write+read (~1 GB at sf100) — noise next to the shuffles the
+    # layout removes.
+    pairs0 = stage(pairs_uv, "lpa_pairs_raw")
     drop_materialized(baskets, freq)
     baskets = freq = fb = pairs_uv = None
     gc_hint(spark)
-    # second copy derives from the FIRST staged table (a columnar
-    # re-read + one repartition), never re-runs the pair build
-    by_v = stage_bucketed(by_u, "v", "lpa_pairs_v")
+    n_pairs = pairs0.count()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(shuffle_parts, -(-n_pairs // _LPA_VOTE_ROWS_PER_TASK))
+    by_u = stage_bucketed(pairs0, "u", "lpa_pairs_u", n_buckets)
+    by_v = stage_bucketed(pairs0, "v", "lpa_pairs_v", n_buckets)
     # round 1: min neighbor over both directions — each directional min
     # is a zero-exchange aggregate on its aligned copy; the full-outer
     # merge is node-cardinality. least() skips NULLs on both engines.
@@ -391,10 +403,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # the per-operator form of AQE's initialPartitionNum: partition
     # count grows with the data, bounded per-task working set. The
     # count() is a cheap columnar count-star on the staged table.
-    n_parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        -(-2 * by_u.count() // _LPA_VOTE_ROWS_PER_TASK),
-    )
+    n_parts = max(shuffle_parts, -(-2 * n_pairs // _LPA_VOTE_ROWS_PER_TASK))
     votes = (
         va.unionByName(vb)
         .repartition(n_parts, F.col("u"))
