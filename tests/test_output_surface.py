@@ -74,3 +74,17 @@ def test_oracle_result_types_are_canon_stable(name):
         f"{name}: driver-fragile oracle columns {bad} — CAST(... AS "
         "DOUBLE/BIGINT) or array_to_string in the oracle SQL"
     )
+
+
+def test_bench_headline_suite_is_registered():
+    """bench.py's HEADLINE suite must name only registered queries — a
+    renamed/retired query would otherwise fail at bench time (in the
+    driver's per-round run, hours from the commit that broke it)."""
+    import bench
+
+    qd = queries_dict()
+    missing = [n for n in bench.HEADLINE if n not in qd]
+    assert not missing, missing
+    # the calibration constants the normalized metric depends on
+    assert bench.CALIBRATION_REF_SEC > 0
+    assert 0 < bench.CONTENTION_DRIFT < 1
