@@ -98,14 +98,30 @@ HEADLINE = [
     "text_quality_stats",       # text featurization
     "text_tfidf_topterms",      # two-phase term statistics
     "salted_skew_aggregate",    # skew-salted aggregation
-    "streaming_windowed_counts",  # structured-streaming windowed agg
     # added round 10 (r9 VERDICT item 8): a staged/banded family
     # representative so the driver bench exercises the stage() path
     "dedup_embedding_cosine_banded",
 ]
 
+# Timed and reported SEPARATELY, excluded from the headline total
+# (round 11, VERDICT r10 item 1): streaming_windowed_counts whipsawed
+# 1.5-9.9 s across CLEAN sessions — its cost is fixed micro-batch
+# scheduler overhead, not data, and it alone accounted for most of the
+# ~25% cross-session spread of the r10 totals. It stays in the artifact
+# (regression-visible) under its own key with its own noise label.
+STREAMING = ["streaming_windowed_counts"]
+
 # Suite-composition changes, so cross-round totals self-explain.
-SUITE_CHANGES = "r10: +dedup_embedding_cosine_banded (16 queries; r1-r9 totals cover 15)"
+SUITE_CHANGES = (
+    "r11: UNIT BREAK x2 — (1) per-query estimator is now median-of-3 "
+    "AFTER one untimed warm-up run (r1-r10: min-of-3 cold-inclusive); "
+    "(2) streaming_windowed_counts is excluded from value/"
+    "value_normalized and reported under `streaming` (scheduler-"
+    "overhead-dominated; whipsawed 1.5-9.9s across clean sessions). "
+    "value now covers 15 queries; r10's covered those 15 + streaming. "
+    "r10: +dedup_embedding_cosine_banded (16 queries; r1-r9 totals "
+    "cover 15)"
+)
 
 
 def _scratch_gb(spark) -> float:
@@ -138,31 +154,47 @@ def _scratch_gb(spark) -> float:
 CONTENTION_DRIFT = 0.20
 
 
+def _time_query(spark, name: str) -> float:
+    """Per-query estimator (round 11, VERDICT r10 item 1): one UNTIMED
+    warm-up run (pays codegen/JIT/page-cache population — the state a
+    cross-session comparison cannot control), then MEDIAN of 3 timed
+    runs. The old min-of-3 was cold-inclusive and min-estimated: a
+    single lucky sample set the number, so two clean sessions of
+    identical code spread ~25%. Median-after-warmup is robust to one
+    spike in either direction and measures the same steady state in
+    every session."""
+    fn = REGISTRY[name].fn
+    rows = fn(spark, SF_DIR).collect()  # warm-up, untimed
+    assert rows is not None
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+        assert rows is not None
+    return statistics.median(samples)
+
+
 def _run_suite(spark) -> dict:
     """One full timed pass: start calibration, every headline query
-    (min-of-3, scratch telemetry), end calibration."""
+    (median-of-3 after warm-up, scratch telemetry), end calibration;
+    streaming queries timed the same way but totaled separately."""
     calib_start = calibrate(spark)
     timings: dict[str, float] = {}
     scratch: dict[str, float] = {}
+    streaming: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        # min of 3: the first run pays codegen/JIT, and this box's
-        # host-level noise swings single runs up to 5x — the min is the
-        # steady-state throughput number (what a cluster would see).
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-            assert rows is not None
-        timings[name] = round(best, 3)
+        timings[name] = round(_time_query(spark, name), 3)
         scratch[name] = _scratch_gb(spark)
+    for name in STREAMING:
+        streaming[name] = round(_time_query(spark, name), 3)
     calib_end = calibrate(spark)
     start_med = statistics.median(calib_start)
     end_med = statistics.median(calib_end)
     return {
         "timings": timings,
         "scratch_gb": scratch,
+        "streaming": streaming,
         "total": round(sum(timings.values()), 3),
         "calib_start": calib_start,
         "calib_end": calib_end,
@@ -215,6 +247,16 @@ def main() -> None:
         "unit": "sec",
         "queries": primary["timings"],
         "scratch_gb": primary["scratch_gb"],
+        "streaming": {
+            **primary["streaming"],
+            "note": (
+                "timed separately, EXCLUDED from value/value_normalized "
+                "(r11): cost is fixed micro-batch scheduler overhead, "
+                "not data — whipsawed 1.5-9.9s across clean sessions "
+                "and dominated cross-round total noise"
+            ),
+        },
+        "estimator_per_query": "median-of-3 after 1 untimed warm-up (r11; r1-r10 min-of-3)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {
             "start_median_sec": primary["start_median"],

@@ -1126,7 +1126,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       max df 25) vs doc-keyed 13.8 s (1.19M candidates x ~52
       shingles/doc) — token-keyed wins here by ~2x; the ratio flips
       when any shingle's df approaches sqrt(|cand| x n̄)."""
-    from ..session import gc_hint, stage, stage_bucketed
+    from ..session import gc_hint, rows_per_task_budget, stage, stage_bucketed
 
     d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
     # staged (round 9), not persisted: the token table has FIVE
@@ -1145,10 +1145,32 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMJ sorts are also elided by the one-sorted-file-per-bucket
     # layout) — so the token table's partitioning shuffle is paid once
     # at stage time instead of four times downstream.
+    # Bucket-count self-scaling (round 11, VERDICT item 2): the token
+    # table's bucket count was pinned to spark.sql.shuffle.partitions —
+    # right at the measured sf100 (260M token rows / 32 buckets ≈ 8M
+    # rows/task, the safe fused-stage regime) but a silent per-task
+    # blow-up one decade later: a bucketed scan is one task per bucket,
+    # so the BUCKET count must grow with the data exactly like LPA's.
+    # Estimated token rows = docs x shingles/doc (measured ~52 distinct
+    # word-3-gram shingles/doc on this corpus; 64 adds headroom — an
+    # overestimate only adds cheap extra buckets); the rows-per-task
+    # divisor is the memory-derived fused-stage budget, the same
+    # empirically-anchored unit LPA sizes with (~9.5M rows/task on the
+    # 48g sf100 harness ≈ the measured-good layout). The doc count is a
+    # metadata count-star on an UNSPREAD scan (the spread repartition
+    # would turn it into a full exchange).
+    n_docs = load_table(spark, sf_dir, "documents", spread=False).count()
+    est_tok_rows = n_docs * 64
+    rows_per_task = rows_per_task_budget(spark, row_bytes=24)
+    n_tok_buckets = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-est_tok_rows // rows_per_task),
+    )
     toks = stage_bucketed(
         d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct(),
         "token",
         "pf_toks",
+        n_tok_buckets,
     )
     gc_hint(spark)
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

@@ -260,10 +260,14 @@ _SIG_PLUS_MU = (
 # Two-round synchronous label propagation over the co-purchase graph
 # ---------------------------------------------------------------------------
 _LPA_MIN_ITEM = 5  # frequent-item gate for the pair join (apriori)
-# vote rows per reducer in LPA's fused vote stage: bounds the per-task
-# hash-aggregate working set (~8M rows x ~24 B of agg state ≈ 200 MB)
-# independent of corpus size — see the repartition note in the query
-_LPA_VOTE_ROWS_PER_TASK = 8_000_000
+# Per-task state bytes for LPA's fused vote stage rows: ~24 B of
+# hash-aggregate state per (node, label, count) entry. The rows-per-task
+# budget itself is DERIVED from the session's memory config
+# (session.rows_per_task_budget — round 11; the former hard-coded
+# 8_000_000 literal encoded this node's 48g/32-core harness) so the
+# bucket/partition self-scaling is portable to any executor
+# memory/core ratio.
+_LPA_VOTE_ROW_BYTES = 24
 
 
 @query(
@@ -328,7 +332,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     tie-breaks) unroll into the DuckDB oracle. The basket build is
     the SHARED scaffold (basket_common.py) — market_basket_lift mines
     the same graph."""
-    from ..session import drop_materialized, gc_hint, stage, stage_bucketed
+    from ..session import (
+        drop_materialized,
+        gc_hint,
+        rows_per_task_budget,
+        stage,
+        stage_bucketed,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     baskets, freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
@@ -366,7 +376,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     gc_hint(spark)
     n_pairs = pairs0.count()
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_buckets = max(shuffle_parts, -(-n_pairs // _LPA_VOTE_ROWS_PER_TASK))
+    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
+    n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
     by_u = stage_bucketed(pairs0, "u", "lpa_pairs_u", n_buckets)
     by_v = stage_bucketed(pairs0, "v", "lpa_pairs_v", n_buckets)
     # round 1: min neighbor over both directions — each directional min
@@ -381,6 +392,12 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             "full",
         )
         .select("node", F.least("mv", "mu").alias("label"))
+        # node-cardinality, TWO consumers (both vote joins below) —
+        # without the materialization the full-outer merge of the two
+        # directional min-aggregates recomputes per consumer: two extra
+        # bucketed scans of the edge table per query (ADVICE r10),
+        # mirroring the existing materialize of l2
+        .transform(materialize)
     )
     # round 2 votes: each pair (u,v) contributes u <- label(v) (from the
     # v-bucketed copy) and v <- label(u) (from the u-bucketed copy) —
@@ -403,7 +420,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # the per-operator form of AQE's initialPartitionNum: partition
     # count grows with the data, bounded per-task working set. The
     # count() is a cheap columnar count-star on the staged table.
-    n_parts = max(shuffle_parts, -(-2 * n_pairs // _LPA_VOTE_ROWS_PER_TASK))
+    n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
     votes = (
         va.unionByName(vb)
         .repartition(n_parts, F.col("u"))

@@ -127,7 +127,20 @@ def configure(spark: SparkSession) -> SparkSession:
     # partition count must set the env var, not spark.conf (which this
     # function owns).
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-    if not shuffle_parts:
+    if shuffle_parts:
+        # validate HERE (ADVICE r10): an unvalidated value is accepted by
+        # conf.set and only fails later inside a query (insights.py's
+        # int(conf.get(...)) or at plan time) far from the cause
+        try:
+            valid = int(shuffle_parts) > 0
+        except ValueError:
+            valid = False
+        if not valid:
+            raise ValueError(
+                "$SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive "
+                f"integer, got {shuffle_parts!r}"
+            )
+    else:
         shuffle_parts = str(max(spark.sparkContext.defaultParallelism, 8))
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
     # Reliable-checkpoint dir for iterative operators (graph.py): an env
@@ -140,6 +153,67 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.sparkContext.setCheckpointDir(ckpt_dir)
     ship_package(spark)
     return spark
+
+
+_MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _mem_bytes(s: str) -> int:
+    """Parse a JVM memory string ('8g', '512m'); bare numbers are bytes."""
+    s = s.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in _MEM_SUFFIX:
+        return int(float(s[:-1]) * _MEM_SUFFIX[s[-1]])
+    return int(s)
+
+
+# How many execution-memory consumers a FUSED (exchange-elided) stage
+# holds concurrently: eliminating exchanges packs sort + SMJ buffers +
+# hash aggregate + shuffle-write sorter into ONE task, and memory that a
+# many-exchange plan released at each boundary is now held at once (the
+# round-10 lesson: bucketed LPA at sf100 died with
+# SparkOutOfMemoryError at 37.5M rows/task where the naive
+# pool-size/row-bytes math said ~38M should fit; 8-9M rows/task
+# completed 33% faster). 4 matches the measured-safe regime on the 48g
+# sf100 harness: (48g - 300m) * 0.6 / 32 cores / 4 ≈ 229 MB/task
+# ≈ 9.5M rows of 24-byte agg state.
+_FUSED_STAGE_CONSUMERS = 4
+
+
+def rows_per_task_budget(
+    spark: SparkSession, row_bytes: int, floor: int = 1_000_000
+) -> int:
+    """Rows of ~row_bytes per-task state one task can safely hold in a
+    fused stage — the partition/bucket-count sizing unit for staged
+    iterative queries (VERDICT r10 item 2: the former hard-coded
+    `_LPA_VOTE_ROWS_PER_TASK = 8_000_000` literal encoded THIS node's
+    per-task execution memory; this derives the same number from the
+    session's memory config so the self-scaling is portable to any
+    executor memory/core ratio).
+
+    Derivation: per-task execution memory = usable heap (driver memory
+    under a local[*] master — the executor IS the driver JVM; executor
+    memory otherwise) minus Spark's 300 MB reserve, times
+    spark.memory.fraction (default 0.6), divided by concurrent tasks
+    (defaultParallelism locally; executor cores/task cpus on a
+    cluster), divided by _FUSED_STAGE_CONSUMERS (see above). The floor
+    keeps a tiny-heap session from exploding the partition count —
+    below it, spilling a few extra MB beats thousands of buckets."""
+    sc = spark.sparkContext
+    conf = sc.getConf()
+    if sc.master.startswith("local"):
+        heap = conf.get("spark.driver.memory", "1g")
+        slots = max(sc.defaultParallelism, 1)
+    else:
+        heap = conf.get("spark.executor.memory", "1g")
+        cores = int(conf.get("spark.executor.cores", "1"))
+        task_cpus = int(conf.get("spark.task.cpus", "1"))
+        slots = max(cores // task_cpus, 1)
+    usable = max(_mem_bytes(heap) - 300 * (1 << 20), 1 << 20)
+    fraction = float(conf.get("spark.memory.fraction", "0.6"))
+    per_task = usable * fraction / slots / _FUSED_STAGE_CONSUMERS
+    return max(floor, int(per_task // row_bytes))
 
 
 # Files above this size get auto-spread: the driver testdata is written
@@ -273,13 +347,19 @@ def _staging_root(spark: SparkSession) -> str | None:
         ckpt = spark.sparkContext.getCheckpointDir()
         if ckpt:
             root = ckpt.rstrip("/") + "/_staging"
-    # getCheckpointDir renders local dirs as file:/... URIs — normalize
-    # those to plain paths so os.makedirs/shutil see a filesystem path;
-    # genuine DFS URIs (hdfs://, s3a://) pass through untouched.
-    if root and root.startswith("file:"):
-        from urllib.parse import urlparse
+            # getCheckpointDir renders LOCAL dirs as file:/... URIs —
+            # normalize those to plain paths so os.makedirs/shutil see a
+            # filesystem path. Only this derived source is normalized:
+            # an EXPLICITLY configured URI root (conf/env, any scheme
+            # incl. file://) is honored verbatim and handled by the
+            # Hadoop-FileSystem branch of stage()/_rm_staged — which is
+            # exactly the code path an object-store root (s3a://,
+            # hdfs://) takes on a real cluster (round-11: lets the
+            # branch be pinned by a file://-rooted test).
+            if root.startswith("file:") and "://" not in root:
+                from urllib.parse import urlparse
 
-        root = urlparse(root).path or root[len("file:"):]
+                root = urlparse(root).path or root[len("file:"):]
     return root
 
 
@@ -289,26 +369,61 @@ def _staging_root(spark: SparkSession) -> str | None:
 _STAGED_TABLES: dict[str, str] = {}
 
 
+def _any_session() -> SparkSession | None:
+    """The session to run cleanup SQL/FS calls on: the thread's active
+    session, else the process-wide default. getActiveSession() is
+    THREAD-LOCAL in PySpark (ADVICE r10) — a stage cleaned from a
+    different thread (or at atexit, where no thread has an active
+    session) must fall back to the default instead of silently skipping
+    the catalog drop. builder.getOrCreate() is deliberately NOT used:
+    cleanup must never construct a new JVM."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = getattr(SparkSession, "_instantiatedSession", None)
+    return spark
+
+
+def _session_usable(spark: SparkSession) -> bool:
+    """True when the session's JVM context is still alive (stop() nulls
+    the underlying _jsc)."""
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:  # pragma: no cover — context already torn down
+        return False
+
+
 def _rm_staged(d: str) -> None:
     """Delete a staged dir. Local paths via shutil; URI schemes (hdfs://,
-    s3a://, file://) via the active JVM's Hadoop FileSystem. Bucketed
-    stages also drop their catalog entry."""
-    tbl = _STAGED_TABLES.pop(d, None)
+    s3a://, file://) via the JVM's Hadoop FileSystem. Bucketed stages
+    also drop their catalog entry — the _STAGED_TABLES record is only
+    popped after a successful drop or a session-gone determination
+    (ADVICE r10: popping first made a transiently-failed drop leave a
+    stale external-table entry, pointing at deleted files, that could
+    never be dropped later; cleanup_staged retries leftovers)."""
+    tbl = _STAGED_TABLES.get(d)
     if tbl is not None:
-        try:
-            spark = SparkSession.getActiveSession()
-            if spark is not None:
+        spark = _any_session()
+        if spark is None or not _session_usable(spark):
+            # no live session anywhere: the in-memory catalog died with it
+            _STAGED_TABLES.pop(d, None)
+        else:
+            try:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        except Exception:
-            pass  # session stopped: the in-memory catalog is gone anyway
+                _STAGED_TABLES.pop(d, None)
+            except Exception:
+                # the session may have stopped mid-call (catalog gone
+                # with it) — only a still-usable session keeps the entry
+                # for a later cleanup_staged retry
+                if not _session_usable(spark):
+                    _STAGED_TABLES.pop(d, None)
     if "://" not in d:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
         return
-    try:  # pragma: no cover — exercised only with a DFS staging root
-        spark = SparkSession.getActiveSession()
-        if spark is None:
+    try:
+        spark = _any_session()
+        if spark is None or not _session_usable(spark):
             return
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -318,17 +433,45 @@ def _rm_staged(d: str) -> None:
         pass  # best-effort: a leaked DFS dir beats a crashed cleanup
 
 
-def cleanup_staged() -> None:
-    """Remove EVERY still-registered staged dir, all threads — the
-    session-stop/atexit hook (round-10 fix for the long-driver leak:
-    the two-generation lifecycle only deletes a dir when the SAME
-    thread issues two more registered queries, so the final query's
-    staged dirs — and any stopped thread's — survived the process)."""
+def cleanup_staged(all_threads: bool = True) -> None:
+    """Remove still-registered staged dirs — the session-stop/atexit
+    hook (round-10 fix for the long-driver leak: the two-generation
+    lifecycle only deletes a dir when the SAME thread issues two more
+    registered queries, so the final query's staged dirs — and any
+    stopped thread's — survived the process).
+
+    all_threads=True sweeps EVERY thread's dirs, including a concurrent
+    driver thread's in-flight stage, whose reads then become
+    FileNotFound (ADVICE r10) — that mode is for interpreter exit /
+    final session stop ONLY, when no query can still be running. A
+    mid-session caller (e.g. a test or a long-lived app rotating
+    sessions while other driver threads keep working) must pass
+    all_threads=False to restrict the sweep to its OWN thread's dirs,
+    preserving the thread-ownership rule the rest of the lifecycle
+    enforces. Also retries any catalog drop a previous cleanup had to
+    skip (see _rm_staged)."""
+    me = threading.get_ident()
     with _MATERIALIZED_LOCK:
-        doomed = [d for _, d in _STAGED_PENDING] + [d for _, d in _STAGED_LIVE]
-        _STAGED_PENDING.clear()
-        _STAGED_LIVE.clear()
+        if all_threads:
+            doomed = [d for _, d in _STAGED_PENDING] + [d for _, d in _STAGED_LIVE]
+            _STAGED_PENDING.clear()
+            _STAGED_LIVE.clear()
+        else:
+            doomed = [d for o, d in _STAGED_PENDING if o == me] + [
+                d for o, d in _STAGED_LIVE if o == me
+            ]
+            _STAGED_PENDING[:] = [(o, d) for o, d in _STAGED_PENDING if o != me]
+            _STAGED_LIVE[:] = [(o, d) for o, d in _STAGED_LIVE if o != me]
     for d in doomed:
+        _rm_staged(d)
+    # orphaned catalog entries from drops that failed transiently: their
+    # dirs are no longer registered ANYWHERE (doomed handled above;
+    # still-live/pending dirs — e.g. another thread's in-flight stage
+    # under all_threads=False — are NOT orphans and must not be touched)
+    with _MATERIALIZED_LOCK:
+        registered = {d for _, d in _STAGED_PENDING} | {d for _, d in _STAGED_LIVE}
+        orphans = [d for d in _STAGED_TABLES if d not in registered]
+    for d in orphans:
         _rm_staged(d)
 
 

@@ -181,3 +181,121 @@ def test_stage_dirs_are_thread_owned(spark):
     S.release_materialized()
     S.release_materialized()
     assert not os.path.exists(mine[0])
+
+
+def test_configure_rejects_invalid_shuffle_partition_override(spark, monkeypatch):
+    """ADVICE r10: an unvalidated $SPARK_GRAFT_SHUFFLE_PARTITIONS was
+    accepted by conf.set and only failed later inside a query, far from
+    the cause. configure() must raise a clear error naming the var."""
+    import pytest
+
+    for bad in ("abc", "0", "-4", "3.5"):
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+            S.configure(spark)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    S.configure(spark)  # and the default path still works
+
+
+def test_stage_bucketed_uri_rooted_staging_dir(spark, tmp_path):
+    """VERDICT r10 item 4: the object-store branch ("://" in the staged
+    dir — no os.makedirs, saveAsTable path option carries the URI,
+    cleanup via the JVM's Hadoop FileSystem) was untested. A file://
+    root through spark.makerdao.staging.dir is byte-for-byte the s3a://
+    code path with a locally verifiable filesystem."""
+    root = f"file://{tmp_path}/uri_staging"
+    plain_root = f"{tmp_path}/uri_staging"
+    spark.conf.set("spark.makerdao.staging.dir", root)
+    before = set(_staged_dirs())
+    try:
+        df = spark.range(200).selectExpr("id % 13 AS k", "id AS payload")
+        staged = S.stage_bucketed(df, "k", "urib", n_buckets=4)
+        new = [d for d in _staged_dirs() if d not in before]
+        assert len(new) == 1 and new[0].startswith(root), new
+        d = new[0]
+        assert "://" in d  # the URI branch, not the local-path branch
+        tbl = S._STAGED_TABLES[d]
+        assert spark.catalog.tableExists(tbl)
+        # files actually landed under the URI root
+        local = plain_root + d[len(root):]
+        assert os.path.isdir(local)
+        # value identity + exchange elision survive the URI root
+        assert sorted(tuple(r) for r in staged.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+        plan = staged.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # plain stage() takes the same branch
+        staged2 = S.stage(spark.range(30), "uris")
+        assert staged2.count() == 30
+        # cleanup must delete through the Hadoop FileSystem AND drop the table
+        S.cleanup_staged()
+        assert not os.path.exists(local)
+        assert not spark.catalog.tableExists(tbl)
+        assert d not in S._STAGED_TABLES
+    finally:
+        spark.conf.unset("spark.makerdao.staging.dir")
+        S.cleanup_staged()
+
+
+def test_rm_staged_keeps_catalog_entry_on_transient_drop_failure(spark, tmp_path, monkeypatch):
+    """ADVICE r10: _rm_staged popped _STAGED_TABLES before the DROP —
+    a transiently-failed drop left a stale external-table entry that
+    could never be dropped later. The entry must survive the failure
+    and be retried by the next cleanup_staged()."""
+    df = spark.range(60).selectExpr("id % 7 AS k")
+    staged = S.stage_bucketed(df, "k", "retry", n_buckets=2)
+    assert staged.count() == 60
+    with S._MATERIALIZED_LOCK:
+        d = [dd for _, dd in S._STAGED_LIVE][-1]
+    tbl = S._STAGED_TABLES[d]
+
+    calls = {"n": 0, "failing": True}
+    real_sql = type(spark).sql
+
+    def flaky_sql(self, q, *a, **kw):
+        if q.startswith("DROP TABLE IF EXISTS"):
+            calls["n"] += 1
+            if calls["failing"]:
+                raise RuntimeError("transient catalog hiccup")
+        return real_sql(self, q, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "sql", flaky_sql)
+    S.cleanup_staged()
+    # drops failed but the session is alive -> entry retained for retry
+    # (cleanup_staged retried once within the same sweep, also failing)
+    assert d in S._STAGED_TABLES, "entry must survive a transient drop failure"
+    assert calls["n"] >= 1
+    calls["failing"] = False
+    S.cleanup_staged()  # the retry sweep picks up the orphan
+    assert d not in S._STAGED_TABLES
+    assert not spark.catalog.tableExists(tbl)
+
+
+def test_cleanup_staged_own_thread_only(spark):
+    """ADVICE r10: all_threads=True mid-session would delete a
+    concurrent driver thread's in-flight stage (its reads become
+    FileNotFound). all_threads=False must restrict the sweep to the
+    caller's own dirs."""
+    import threading
+
+    before = set(_staged_dirs())
+    S.stage(spark.range(3), "mine_r11")
+    other_dir = []
+
+    def _other():
+        other_dir.append(S.stage(spark.range(3), "theirs_r11"))
+        with S._MATERIALIZED_LOCK:
+            pass
+
+    t = threading.Thread(target=_other)
+    t.start()
+    t.join()
+    new = [d for d in _staged_dirs() if d not in before]
+    assert len(new) == 2
+    S.cleanup_staged(all_threads=False)
+    survivors = [d for d in _staged_dirs() if d not in before]
+    assert len(survivors) == 1, "the other thread's dir must survive"
+    assert os.path.isdir(survivors[0])
+    S.cleanup_staged()  # full sweep for test hygiene
+    assert not [d for d in _staged_dirs() if d not in before]
