@@ -183,10 +183,22 @@ def _run_suite(spark) -> dict:
     timings: dict[str, float] = {}
     scratch: dict[str, float] = {}
     streaming: dict[str, float] = {}
+    from makerdao_dw_spark.session import gc_hint
+
     for name in HEADLINE:
+        # GC between queries: a 16-query suite accumulates dead plan/
+        # cache objects in the driver JVM's old gen, and the resulting
+        # full-GC pauses land on whichever LATER query is running —
+        # measured as a 1.7s-vs-9.0s cross-session whipsaw on the
+        # suite's last query while the same query ran a steady
+        # 3.4-4.6s standalone. ~100ms per query buys state-independent
+        # timings (the same reason tools/bench_third_decade gc's
+        # between queries).
+        gc_hint(spark)
         timings[name] = round(_time_query(spark, name), 3)
         scratch[name] = _scratch_gb(spark)
     for name in STREAMING:
+        gc_hint(spark)
         streaming[name] = round(_time_query(spark, name), 3)
     calib_end = calibrate(spark)
     start_med = statistics.median(calib_start)
