@@ -20,6 +20,13 @@ machinery.
   splits dense components into communities). Both rounds unroll into
   the DuckDB oracle (the pagerank/kmeans unrolling technique), so the
   vote — including its tie-break — is value-checked.
+- `label_propagation_convergence` (round 11): per-round convergence
+  telemetry (label churn, community count) for K=4 UNIFORM vote
+  rounds against a K-unrolled oracle — the monitoring curve that
+  decides when a real LPA job stops, and the value-level proof that
+  the bucketed-staging round body is correct for arbitrary K, not
+  just the unrolled K=2 above. The fixpoint-bounded operator form is
+  `operators/graph.py::label_propagation`.
 
 Determinism: exact integer counts everywhere; every argmax is a
 ROW_NUMBER over (count DESC, label ASC); ln carries the accepted
@@ -450,3 +457,178 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation convergence sweep (K uniform vote rounds, telemetry)
+# ---------------------------------------------------------------------------
+_LPA_SWEEP_ROUNDS = 4
+
+
+def _lpa_sweep_round_ctes(k: int) -> str:
+    """One (votes{r}, l{r}) CTE pair per round, all uniform vote rounds
+    from l0 (label = own id) — the pagerank/kmeans unrolling technique
+    applied K deep, so every round's argmax (vote count desc, label
+    asc) is value-checked, not just the K=2 prefix."""
+    return "".join(
+        f""",
+votes{r} AS (
+    SELECT e.u AS node, l.label, COUNT(*) AS n_votes
+    FROM edges e JOIN l{r - 1} l ON e.v = l.node
+    GROUP BY e.u, l.label
+),
+l{r} AS (
+    SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY n_votes DESC, label) AS rk
+        FROM votes{r}
+    ) WHERE rk = 1
+)"""
+        for r in range(1, k + 1)
+    )
+
+
+def _lpa_sweep_stats_sql(k: int) -> str:
+    return "\n    UNION ALL\n    ".join(
+        f"""SELECT {r} AS round_no,
+        (SELECT COUNT(*) FROM l{r} a JOIN l{r - 1} b USING (node)
+         WHERE a.label <> b.label) AS nodes_changed,
+        (SELECT COUNT(DISTINCT label) FROM l{r}) AS n_communities"""
+        for r in range(1, k + 1)
+    )
+
+
+@query(
+    "label_propagation_convergence",
+    oracle=f"""
+WITH {basket_ctes_duck(_LPA_MIN_ITEM)},
+pairs AS (
+    SELECT DISTINCT b1.p AS u, b2.p AS v
+    FROM fb b1 JOIN fb b2 ON b1.o = b2.o AND b1.p < b2.p
+),
+edges AS (
+    SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges){
+    _lpa_sweep_round_ctes(_LPA_SWEEP_ROUNDS)},
+stats AS (
+    {_lpa_sweep_stats_sql(_LPA_SWEEP_ROUNDS)}
+)
+SELECT CAST(round_no AS INTEGER) AS round_no,
+       CAST(nodes_changed AS BIGINT) AS nodes_changed,
+       CAST(n_communities AS BIGINT) AS n_communities
+FROM stats ORDER BY round_no
+""",
+    tags=("graph", "communities", "label-propagation", "convergence"),
+)
+def label_propagation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round convergence telemetry for K=4 (_LPA_SWEEP_ROUNDS) uniform
+    synchronous label-propagation rounds over the co-purchase graph:
+    (round_no, nodes_changed, n_communities) — the monitoring curve an
+    operator of a 100 TB LPA job actually watches to decide when to
+    stop (label churn per round, community-count trajectory).
+
+    Exercises the bucketed-staging idiom BEYOND the unrolled K=2 of
+    `label_propagation_communities` through the driver's value oracle:
+    the two bucketed edge copies (by u, by v) are staged once, and each
+    of the K rounds consumes them with the pair-side exchange elided,
+    moving exactly ONE edge-sized shuffle (the vote repartition) — so
+    per-round cost is invariant in the round number (the operator-level
+    fixpoint variant lives in operators/graph.py::label_propagation;
+    its per-round plan constancy is pinned by tests/test_lpa_fixpoint
+    .py, and this query pins K-deep VALUE correctness against the
+    K-unrolled DuckDB oracle). Unlike the main query, round 1 is not
+    special-cased to MIN(v): all K rounds run the identical vote body
+    from l0 (label = own id; a unique-label vote IS the min-neighbor
+    collapse), which is exactly what makes the loop body reusable K
+    times.
+
+    Per round the driver pulls back TWO scalars (label churn + distinct
+    labels, one aggregate job on the node-sized join of consecutive
+    label frames); the result frame is built from those K scalar rows —
+    data never collects. Round frames are materialized (two consumers:
+    next round's votes + the telemetry join) and released as soon as
+    the next round lands, so steady-state memory is two node-sized
+    frames regardless of K."""
+    from ..session import (
+        drop_materialized,
+        gc_hint,
+        rows_per_task_budget,
+        stage,
+        stage_bucketed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets, freq, fb = frequent_baskets(li, _LPA_MIN_ITEM)
+    pairs_uv = (
+        basket_pair_join(fb)
+        .select(F.col("b1.p").alias("u"), F.col("b2.p").alias("v"))
+        .distinct()
+    )
+    # same staged layout as label_propagation_communities (see its
+    # docstring for the scratch/exchange rationale): plain cut first to
+    # release the pair-build working set and size the bucket layout,
+    # then the two bucketed copies every round consumes exchange-free
+    pairs0 = stage(pairs_uv, "lpa_sweep_pairs_raw")
+    drop_materialized(baskets, freq)
+    baskets = freq = fb = pairs_uv = None
+    gc_hint(spark)
+    n_pairs = pairs0.count()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
+    n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
+    by_u = stage_bucketed(pairs0, "u", "lpa_sweep_u", n_buckets)
+    by_v = stage_bucketed(pairs0, "v", "lpa_sweep_v", n_buckets)
+    n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
+    # l0: every endpoint labeled with its own id — both selects are
+    # zero-exchange bucketed scans; the distinct is node-sized
+    labels = materialize(
+        by_u.select(F.col("u").alias("node"))
+        .unionByName(by_v.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    rows: list[tuple[int, int, int]] = []
+    for r in range(1, _LPA_SWEEP_ROUNDS + 1):
+        va = by_v.join(labels.withColumnRenamed("node", "v"), "v").select(
+            "u", "label"
+        )
+        vb = by_u.join(labels.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("u"), "label"
+        )
+        new_labels = materialize(
+            va.unionByName(vb)
+            .repartition(n_parts, F.col("u"))
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n_votes"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg_label")).alias("label"))
+        )
+        # churn + community count in ONE aggregate job over the
+        # node-sized join of consecutive label frames (the node set is
+        # identical every round: every node has a neighborhood)
+        st = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .agg(
+                F.sum(
+                    (F.col("n.label") != F.col("o.label")).cast("long")
+                ).alias("ch"),
+                F.count_distinct(F.col("n.label")).alias("nc"),
+            )
+            .collect()[0]
+        )
+        rows.append((r, int(st["ch"] or 0), int(st["nc"])))
+        drop_materialized(labels)
+        labels = new_labels
+    drop_materialized(labels)
+    return spark.createDataFrame(
+        rows, "round_no int, nodes_changed bigint, n_communities bigint"
+    ).orderBy("round_no")
