@@ -204,9 +204,9 @@ def recall_table(
     centroids = kmeans_fit(
         nz.select("vec_id", "embedding"), "embedding", "vec_id", k=_KM_K, max_iter=_KM_ITER
     )
-    from .kmeans import _dist2
+    from .kmeans import dists_arr
 
-    dists = F.array(*[_dist2("embedding", c) for c in centroids])
+    dists = dists_arr("embedding", centroids)
     # nearest-centroid rank list: sort (dist, cluster_id) pairs — the
     # id tie-break keeps the ranking deterministic
     ranked = F.transform(

@@ -24,23 +24,58 @@ iteration count keeps runs reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dist2(vec_col: str, centroid: list[float]):
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
+def _lit_vec(vals) -> Column:
+    """One centroid as a SINGLE array<double> Literal node.
+
+    `F.lit(list)` expands to CreateArray with one Literal PER element,
+    so a k x dim codebook became k*dim expression nodes per use — at
+    (k=16, dim=16) x 4 subspaces x (train iterations + encode + ADC
+    tables) the driver spent ~13 s per ann_pq_adc run ANALYZING
+    literal trees (NOTES round-6 measurement; optimization guide §1:
+    driver-side planning is single-threaded work). A numpy array
+    literal is one node carrying the whole vector (r11)."""
+    return F.lit(np.asarray([float(x) for x in vals], dtype="float64"))
+
+
+def codebook_lit(centroids: list[list[float]]) -> Column:
+    """A whole codebook as array<array<double>> built from k single-
+    Literal vectors (k+1 nodes; constant-folded to ONE nested Literal
+    on first optimization). Element index == cluster id."""
+    return F.array(*[_lit_vec(c) for c in centroids])
+
+
+def _sq_l2(vec: Column, cent: Column) -> Column:
+    """Squared L2 as the house fixed-order left fold — bit-identical to
+    the per-centroid expression the unrolled DuckDB oracles mirror."""
     return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
+def _dist2(vec_col: str, centroid: list[float]):
+    return _sq_l2(F.col(vec_col), _lit_vec(centroid))
+
+
+def dists_arr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Array of squared-L2 distances to every centroid (index = cluster
+    id): ONE transform lambda over the codebook literal instead of k
+    unrolled fold subtrees — same math per element, in element order,
+    so results are bit-identical; the expression tree shrinks from
+    O(k*dim) to O(k + dim-free lambda) nodes (r11)."""
+    return F.transform(codebook_lit(centroids), lambda c: _sq_l2(F.col(vec_col), c))
+
+
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add a `cluster` column (0-based nearest-centroid id, squared-L2,
     ties -> lowest id). Pure expression: no shuffle, no Python."""
-    dists = F.array(*[_dist2(vec_col, c) for c in centroids])
+    dists = dists_arr(vec_col, centroids)
     return df.withColumn(
         "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )

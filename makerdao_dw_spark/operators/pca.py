@@ -39,12 +39,15 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    # single array<double> Literal node (a per-element F.lit expansion
+    # costs dim nodes per use in driver analysis — see kmeans._lit_vec)
+    return F.lit(np.asarray([float(x) for x in vals], dtype="float64"))
 
 
 def centered_arr(vec_col: str, mu: list[float]) -> Column:

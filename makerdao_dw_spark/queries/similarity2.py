@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit_multi
+from ..operators.kmeans import assign_clusters, dists_arr, kmeans_fit_multi
 from ..session import configure, load_table, materialize
 from .registry import query
 from .similarity import PROBE_ID_CAP
@@ -236,7 +236,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             *[
-                F.array(*[_dist2(f"sv{s}", c) for c in cents[s]]).alias(f"adt{s}")
+                # per-subspace ADC table: ONE transform over the codebook
+                # literal (element order = cluster id), not k unrolled
+                # fold subtrees — same doubles, ~k*dim fewer plan nodes
+                dists_arr(f"sv{s}", cents[s]).alias(f"adt{s}")
                 for s in range(_PQ_M)
             ],
         )

@@ -492,7 +492,7 @@ def _knn_scored_ann(
     nprobe = k the shortlist is the whole train set and the pipeline
     equals the exact one (pinned in tests/test_knn_ann.py — the same
     'full probe = brute force' anchor as tests/test_ann_recall.py)."""
-    from ..operators.kmeans import _dist2, assign_clusters, kmeans_fit
+    from ..operators.kmeans import _sq_l2, assign_clusters, codebook_lit, kmeans_fit
 
     e = (
         _t(spark, sf_dir, "embeddings", spread=True)
@@ -504,12 +504,15 @@ def _knn_scored_ann(
         "nrm", F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})")
     )
     # per-probe top-nprobe clusters: array_sort over (dist2, cluster)
-    # structs == ROW_NUMBER ORDER BY dist2 ASC, cluster ASC
-    cells = F.array(
-        *[
-            F.struct(_dist2("embedding", c).alias("d"), F.lit(j).alias("cluster"))
-            for j, c in enumerate(centroids)
-        ]
+    # structs == ROW_NUMBER ORDER BY dist2 ASC, cluster ASC. One
+    # indexed transform over the codebook literal (element index ==
+    # cluster id, same int type as the old F.lit(j)) instead of k
+    # unrolled fold subtrees — same doubles, O(k*dim) fewer plan nodes
+    cells = F.transform(
+        codebook_lit(centroids),
+        lambda c, j: F.struct(
+            _sq_l2(F.col("embedding"), c).alias("d"), j.alias("cluster")
+        ),
     )
     probes = F.broadcast(
         en.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < _KNN_PROBE_CAP))
