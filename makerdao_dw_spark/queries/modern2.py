@@ -16,13 +16,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 
-from ..session import configure, load_table
+from ..session import configure, load_table, materialize_lazy
 from .registry import query
 
 
 # --------------------------------------------------------------------------
 # Native recursive CTE: multi-seed reachability over a co-purchase DAG
 # --------------------------------------------------------------------------
+_REACH_EDGES_SQL = """
+WITH two AS (
+  SELECT l_orderkey FROM {lineitem} GROUP BY l_orderkey HAVING COUNT(*) = 2
+)
+SELECT MIN(l_partkey) AS src, MAX(l_partkey) AS dst
+FROM {lineitem} JOIN two USING (l_orderkey)
+GROUP BY l_orderkey
+HAVING MIN(l_partkey) <> MAX(l_partkey)
+"""
+
+_REACH_LOOP_SQL = """
+WITH RECURSIVE reach(node, depth) AS (
+  SELECT DISTINCT src AS node, 0 AS depth FROM {edges} WHERE src < 100
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN {edges} e ON e.src = r.node
+  WHERE r.depth < 6
+)
+SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_paths
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+# the oracle keeps the whole thing as ONE recursive statement (DuckDB
+# materializes CTEs by default, so `edges` runs once there)
 _REACH_SQL = """
 WITH RECURSIVE two AS (
   SELECT l_orderkey FROM {lineitem} GROUP BY l_orderkey HAVING COUNT(*) = 2
@@ -70,10 +96,29 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; the explicit `CAST(0 AS INT)`-free anchor works because
     both src and the literal share types after the GROUP BY — the
     anchor and step must type-merge exactly or UnionLoop refuses.
+
+    r11: the edge list is MATERIALIZED before the loop. Spark inlines
+    non-recursive CTEs, so `edges` written inside the recursive
+    statement lands in UnionLoop's step plan and the whole derivation
+    (two lineitem scans + two aggregations + a join) re-executed on
+    EVERY iteration — 7 depths re-scanned lineitem ~14x (guide §1.2:
+    don't recompute what you throw away; plans/r11/
+    recursive_cte_reachability_before.txt shows LogicalRelation inside
+    the loop body). Deriving edges once (same SQL), persisting the
+    edge-sized result LAZILY (materialize_lazy — the loop's anchor
+    builds the cache, every later iteration reads it; an eager count
+    would pay one extra derivation) and recursing over the cached view
+    leaves one hash join per iteration; results are row-identical.
+    UnionLoop re-plans the step each iteration through the
+    CacheManager, so the substitution is a runtime effect (the static
+    explain still prints the logical step subtree). DuckDB
+    materializes CTEs by default, so the oracle is unchanged.
     """
     configure(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_rec_lineitem")
-    return spark.sql(_REACH_SQL.format(lineitem="_rec_lineitem"))
+    edges = materialize_lazy(spark.sql(_REACH_EDGES_SQL.format(lineitem="_rec_lineitem")))
+    edges.createOrReplaceTempView("_rec_edges")
+    return spark.sql(_REACH_LOOP_SQL.format(edges="_rec_edges"))
 
 
 # --------------------------------------------------------------------------

@@ -312,6 +312,21 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """persist + cleanup registration WITHOUT the eager count — for a
+    multi-consumer intermediate whose consumers run strictly
+    sequentially anyway (e.g. the anchor then the step executions of a
+    recursive CTE, r11): the first consumer builds the cache, later
+    ones read it, and skipping the forcing count() saves one full pass
+    over the input. NOT for frames a broadcast consumer races to build
+    (materialize()'s docstring case) — there the eager count is the
+    point. Same release_materialized() lifecycle."""
+    df = df.persist()
+    with _MATERIALIZED_LOCK:
+        _MATERIALIZED.append((threading.get_ident(), df))
+    return df
+
+
 _STAGED_PENDING: list[tuple[int, str]] = []  # staged dirs awaiting deletion
 _STAGED_LIVE: list[tuple[int, str]] = []  # staged dirs the current query may read
 _STAGED_ATEXIT_REGISTERED = False
