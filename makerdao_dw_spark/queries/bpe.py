@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure, load_table, materialize
+from ..session import configure, load_table, materialize, materialize_lazy
 from .registry import query
 from .text_common import tokens_arr, tokens_arr_duck
 
@@ -132,10 +132,13 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
     rolls its per-(lang, word) counts up) — the corpus is tokenized
     exactly once per query.
 
-    Each step's vocabulary is materialize()d: it feeds both the pair
-    count and the next step's merge, and the chain would otherwise
-    recompute the corpus tokenize once per step (O(steps) corpus
-    passes instead of one)."""
+    Each step's vocabulary is persisted (materialize_lazy): it feeds
+    both the pair count and the next step's merge, and the chain would
+    otherwise recompute the corpus tokenize once per step (O(steps)
+    corpus passes instead of one). Lazy on purpose (r11): the very
+    next action (the argmax's forcing count) builds the cache anyway,
+    so an eager count per step just added one vocabulary-sized job —
+    ~2 jobs saved per step across the 4-step unroll."""
     if words is None:
         d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
         words = (
@@ -143,7 +146,7 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-    s = materialize(
+    s = materialize_lazy(
         words.select(
             "word",
             F.expr("rtrim(regexp_replace(word, '(.)', '$1 '))").alias("sym"),
@@ -171,7 +174,7 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
         # corpus fully fused before _BPE_STEPS) must carry the previous
         # segmentation forward, not empty the vocabulary — the merge
         # fold with NULL _p1/_p2 is the identity (x = NULL never true)
-        s = materialize(
+        s = materialize_lazy(
             s.join(F.broadcast(bp), F.lit(True), "left").select(
                 "word",
                 F.expr(_MERGE_SPARK.format(sym="sym", p1="_p1", p2="_p2")).alias("sym"),

@@ -144,8 +144,18 @@ def bootstrap_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB production BLB draws n^0.6-sized subsamples instead of
     full hash partitions — one predicate swap, same plan."""
     o = _t(spark, sf_dir, "orders")
-    sub = o.select(
-        "o_orderkey", "o_totalprice", F.expr(_SUB_SPARK).alias("s")
+    # r11: spread the narrow projection BEFORE the B-fold fan-out. The
+    # testdata ships one row group per file, so without this the entire
+    # resampling CPU (B+1 = 41 md5 draws per order) ran on ONE core —
+    # measured 11.1 s at sf0.1 against ~1 s spread (guide §2.5 "input
+    # skew: one huge unsplittable file — repartition immediately after
+    # the read"). Projecting first keeps the exchange to 3 narrow
+    # columns; every aggregate downstream is order-free (exact decimal
+    # sums, integer counts), so the result is partitioning-invariant.
+    sub = (
+        o.select("o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("o_orderkey", "o_totalprice", F.expr(_SUB_SPARK).alias("s"))
     )
     rep = sub.select(
         "s",

@@ -96,7 +96,12 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines (bare double->string rendering differs, and
     printf-style formatting rounds midpoints differently: Spark
     HALF_UP vs DuckDB half-even)."""
-    o = _t(spark, sf_dir, "orders")
+    # r11: spread — the single-row-group testdata file otherwise runs
+    # the Expand (6 countDistinct arms multiply rows 7x) and the
+    # partial aggregation on ONE core. Every aggregate here is exact
+    # and order-free (count/min/max/distinct), so partitioning cannot
+    # change the result.
+    o = _t(spark, sf_dir, "orders", spread=True)
     cols = [
         ("o_orderkey", "bigint"),
         ("o_custkey", "bigint"),

@@ -156,9 +156,18 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr_tot").cast("double") / F.sum("occ"), 6).alias("score"),
         )
     )
-    n_all = F.broadcast(per_doc.agg(F.count(F.lit(1)).alias("n_all")))
-    ranked = per_doc.crossJoin(n_all).withColumn(
+    # r11: n_all as a COUNT over the same single-partition window the
+    # rank already pays for — the former broadcast(per_doc.agg(count))
+    # re-executed the whole per_doc subtree (cached-dw join + aggregate)
+    # a second time just to produce one integer (guide §1.2: don't
+    # compute things twice). Same value, zero extra exchanges.
+    ranked = per_doc.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
+    ).withColumn(
+        "n_all",
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
     )
     return (
         ranked.filter(
