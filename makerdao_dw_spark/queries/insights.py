@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import materialize, query_table
+from ..session import materialize, materialize_lazy, query_table
 from .basket_common import basket_ctes_duck, basket_pair_join, frequent_baskets
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck
@@ -596,7 +596,10 @@ def label_propagation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
         vb = by_u.join(labels.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("u"), "label"
         )
-        new_labels = materialize(
+        # lazy persist (r11): the churn/community aggregate right below
+        # is the first consumer and forces the cache in its own job —
+        # an eager count here was one extra vote-sized job per round
+        new_labels = materialize_lazy(
             va.unionByName(vb)
             .repartition(n_parts, F.col("u"))
             .groupBy(F.col("u").alias("node"), "label")

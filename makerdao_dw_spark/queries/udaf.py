@@ -148,15 +148,40 @@ def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: GROUPED_MAP shuffles like a groupBy and holds ONE GROUP in
     memory at a time — fine for per-user event counts, wrong for
     whale groups (then: window form above, which streams). That
-    trade-off is the reason both forms exist in this registry."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    trade-off is the reason both forms exist in this registry.
+
+    COST NOTE (r11, the cogroup_order_event_stats bucketing, measured
+    there at 8.9x): GROUPED_MAP pays one Python call per GROUP, so the
+    grouped-map key is a coarse bucket pmod(hash(user_id), 256) and the
+    pandas body normalizes every user in the bucket VECTORIZED
+    (groupby(dropna=False).transform over min/max — NULL user keys keep
+    their group, matching the window oracle's NULL partition). Python
+    invocations drop from n_users to 256; per-row arithmetic is the
+    same (value - lo) / (hi - lo) in float64, so values are
+    bit-identical. sf0.1 sweep: 9.2 s -> see OPTIMIZATION_r11.md."""
+    import numpy as np
+
+    n_buckets = 256
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .withColumn("b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+    )
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        lo, hi = pdf["value"].min(), pdf["value"].max()
-        if hi > lo:
-            n = (pdf["value"] - lo) / (hi - lo)
-        else:
-            n = pd.Series(0.5, index=pdf.index)
+        g = pdf.groupby("user_id", dropna=False)["value"]
+        lo = g.transform("min")
+        hi = g.transform("max")
+        denom = hi - lo
+        spread = denom > 0
+        n = pd.Series(
+            np.where(
+                spread,
+                (pdf["value"] - lo) / np.where(spread, denom, 1.0),
+                0.5,
+            ),
+            index=pdf.index,
+        )
         # NO rounding here: pandas .round is numpy scaled half-to-even,
         # a different algorithm from the F.round/DuckDB ROUND pair the
         # rest of the registry standardizes on — round Spark-side
@@ -165,7 +190,7 @@ def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        e.groupBy("user_id")
+        e.groupBy("b")
         .applyInPandas(norm, "user_id bigint, event_id bigint, norm double")
         .select("user_id", "event_id", F.round("norm", 6).alias("norm"))
         .orderBy("user_id", "event_id")
