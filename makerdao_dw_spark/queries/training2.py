@@ -188,7 +188,12 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count loop is bounded because chunking upstream caps doc
     length. n-grams via zip_with over offset slices (length clamped at
     0) so 1-word docs yield empty gram lists, not a bad sequence()."""
-    d = _t(spark, sf_dir, "documents")
+    # r11: spread — the per-doc O(words^2) array CPU otherwise runs on
+    # ONE core against the single-row-group testdata file (7.9 s at
+    # sf0.1); per-row computation, so partitioning cannot change the
+    # result, and the round-robin exchange is not a hash shuffle (the
+    # no-hash-exchange plan assertion still holds)
+    d = _t(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", F.expr(_W).alias("w"))
     grams = toks.select(
         "doc_id",
