@@ -35,6 +35,8 @@ ROW_NUMBER over (count DESC, label ASC); ln carries the accepted
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -276,6 +278,43 @@ _LPA_MIN_ITEM = 5  # frequent-item gate for the pair join (apriori)
 # memory/core ratio.
 _LPA_VOTE_ROW_BYTES = 24
 
+# Above this lineitem file size the small-corpus gate is decided without
+# the Σ C(w,2) estimate job: ~1 GiB of lineitem is ~70M rows and ~140M
+# candidate pairs — no plausible rows_per_task_budget() (which would
+# need ~3.4 GB of per-task execution memory at 24 B/row) calls that
+# small, so the estimate aggregate would be a pure waste of a
+# fact-sized pass on the very inputs where passes are expensive.
+_LPA_EST_INPUT_BYTES = 1 << 30
+
+
+def _lpa_small_corpus(sf_dir: str, fb: DataFrame, rows_per_task: int) -> bool:
+    """True when the WHOLE candidate pair set fits one task's budget —
+    the scale gate for the staged-bucketed LPA layout (r11, guide §2:
+    derive partitioning strategy from input size, not a constant).
+
+    The bucketed staging pays 2 extra table writes + per-round bucket
+    scans to elide edge-sized exchanges; when every vote round's total
+    state fits ONE task budget there is no exchange worth eliding and
+    the fixed staging cost dominates (measured at sf0.1: 13.1 s staged
+    vs 10.4 s unstaged, flat rounds both ways). The gate is the exact
+    pre-distinct pair count Σ C(basket_width, 2) — one narrow aggregate
+    over fb, strictly cheaper than the pair join it sizes, and an upper
+    bound on the staged pair count (cross-order duplicate pairs
+    collapse in the join's distinct). Inputs past _LPA_EST_INPUT_BYTES
+    skip even the estimate job (see its comment)."""
+    try:
+        if os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")) > _LPA_EST_INPUT_BYTES:
+            return False
+    except OSError:
+        return False
+    est = (
+        fb.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("(c * (c - 1)) div 2")).alias("n"))
+        .collect()[0]["n"]
+    )
+    return int(est or 0) <= rows_per_task
+
 
 @query(
     "label_propagation_communities",
@@ -377,16 +416,30 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # /150 buckets completes). Cost: one extra E-row parquet
     # write+read (~1 GB at sf100) — noise next to the shuffles the
     # layout removes.
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
+    # r11 scale gate (guide §2, measure-first): when the whole pair set
+    # fits ONE task's budget there is no edge-sized exchange worth
+    # eliding, and the two bucketed table writes + per-round bucketed
+    # scans are pure fixed cost (measured at sf0.1: 13.1 s staged vs
+    # 10.4 s with the plain staged parquet reused for both directions).
+    # The plain stage() stays on BOTH paths: it is the lineage cut that
+    # releases the pair-build shuffles mid-query AND keeps each round's
+    # logical plan bottoming out at a 1-node scan (persist-based frames
+    # nest the full pair-build subtree twice per round — measured
+    # exponential planning blowup, 1.3 -> 14.8 s/round by round 4).
+    small = _lpa_small_corpus(sf_dir, fb, rows_per_task)
     pairs0 = stage(pairs_uv, "lpa_pairs_raw")
     drop_materialized(baskets, freq)
     baskets = freq = fb = pairs_uv = None
     gc_hint(spark)
-    n_pairs = pairs0.count()
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
-    n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
-    by_u = stage_bucketed(pairs0, "u", "lpa_pairs_u", n_buckets)
-    by_v = stage_bucketed(pairs0, "v", "lpa_pairs_v", n_buckets)
+    if small:
+        by_u = by_v = pairs0
+    else:
+        n_pairs = pairs0.count()
+        n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
+        by_u = stage_bucketed(pairs0, "u", "lpa_pairs_u", n_buckets)
+        by_v = stage_bucketed(pairs0, "v", "lpa_pairs_v", n_buckets)
     # round 1: min neighbor over both directions — each directional min
     # is a zero-exchange aggregate on its aligned copy; the full-outer
     # merge is node-cardinality. least() skips NULLs on both engines.
@@ -427,12 +480,16 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # the per-operator form of AQE's initialPartitionNum: partition
     # count grows with the data, bounded per-task working set. The
     # count() is a cheap columnar count-star on the staged table.
-    n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
-    votes = (
-        va.unionByName(vb)
-        .repartition(n_parts, F.col("u"))
-        .groupBy(F.col("u").alias("node"), "label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
+    voters = va.unionByName(vb)
+    if not small:
+        # the large path's ONE edge-sized shuffle, self-sized from the
+        # pair count (see the comment above); the small path skips the
+        # explicit repartition entirely and lets AQE coalesce the
+        # grouping exchanges to the data (sub-task-budget by the gate)
+        n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
+        voters = voters.repartition(n_parts, F.col("u"))
+    votes = voters.groupBy(F.col("u").alias("node"), "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
     )
     # node-cardinality result, TWO consumers (community sizes + the
     # join-back) — without the checkpoint the whole 24M-edge vote
@@ -569,17 +626,26 @@ def label_propagation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     # docstring for the scratch/exchange rationale): plain cut first to
     # release the pair-build working set and size the bucket layout,
     # then the two bucketed copies every round consumes exchange-free
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
+    # same r11 scale gate as label_propagation_communities (see the
+    # comment there): staged-bucketed layout only when a vote round's
+    # state exceeds one task's budget; small corpora reuse the plain
+    # staged parquet for both directions and let AQE size the exchanges
+    small = _lpa_small_corpus(sf_dir, fb, rows_per_task)
     pairs0 = stage(pairs_uv, "lpa_sweep_pairs_raw")
     drop_materialized(baskets, freq)
     baskets = freq = fb = pairs_uv = None
     gc_hint(spark)
-    n_pairs = pairs0.count()
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rows_per_task = rows_per_task_budget(spark, _LPA_VOTE_ROW_BYTES)
-    n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
-    by_u = stage_bucketed(pairs0, "u", "lpa_sweep_u", n_buckets)
-    by_v = stage_bucketed(pairs0, "v", "lpa_sweep_v", n_buckets)
-    n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
+    if small:
+        by_u = by_v = pairs0
+        n_parts = None
+    else:
+        n_pairs = pairs0.count()
+        n_buckets = max(shuffle_parts, -(-n_pairs // rows_per_task))
+        by_u = stage_bucketed(pairs0, "u", "lpa_sweep_u", n_buckets)
+        by_v = stage_bucketed(pairs0, "v", "lpa_sweep_v", n_buckets)
+        n_parts = max(shuffle_parts, -(-2 * n_pairs // rows_per_task))
     # l0: every endpoint labeled with its own id — both selects are
     # zero-exchange bucketed scans; the distinct is node-sized
     labels = materialize(
@@ -596,13 +662,14 @@ def label_propagation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
         vb = by_u.join(labels.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("u"), "label"
         )
+        voters = va.unionByName(vb)
+        if n_parts is not None:
+            voters = voters.repartition(n_parts, F.col("u"))
         # lazy persist (r11): the churn/community aggregate right below
         # is the first consumer and forces the cache in its own job —
         # an eager count here was one extra vote-sized job per round
         new_labels = materialize_lazy(
-            va.unionByName(vb)
-            .repartition(n_parts, F.col("u"))
-            .groupBy(F.col("u").alias("node"), "label")
+            voters.groupBy(F.col("u").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n_votes"))
             .groupBy("node")
             .agg(
