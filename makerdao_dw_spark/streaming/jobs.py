@@ -47,12 +47,92 @@ _SEQ = itertools.count()
 LAST_STATE_ROWS: dict[str, int] = {}
 
 
+# Target parquet input bytes per state-store partition (r11, guide §2).
+# A stateful exchange is pinned to spark.sql.shuffle.partitions at the
+# FIRST micro-batch (checkpointed forever, and AQE cannot coalesce it),
+# and every micro-batch then pays n_partitions x n_stores fixed cost:
+# provider load, delta-file write, commit fsync, coordinator RPC — a
+# stream-stream join carries FOUR stores per partition, so at 32
+# partitions one micro-batch commits 128 state files regardless of how
+# few state rows exist (measured: 40k state rows, commitTimeMs summed
+# to 62-124 s per batch, ~80% of streaming_stream_stream_join's wall).
+# Deriving the partition count from the input volume is the stateful
+# analogue of AQE partition coalescing; the conf below overrides for
+# deployments whose steady-state per-trigger volume differs from the
+# backlog being drained.
+_STATE_PART_TARGET_BYTES = 32 << 20
+_STATE_PARTS_CONF = "spark.makerdao.streaming.state.partitions"
+# Set to "true" to run the trailing no-data micro-batch in _drain after
+# all — the watermark then advances once more and EVICTS expired state
+# before the query stops. Sink output is identical either way (see
+# _drain); the knob exists for state-observability harnesses
+# (tools/bench_streaming_scale.py measures post-eviction state rows to
+# prove the bounded-state claim).
+_FINAL_WM_BATCH_CONF = "spark.makerdao.streaming.drain.finalWatermarkBatch"
+
+
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """Size of a testdata table (single parquet file or part-file dir)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def state_partitions(spark: SparkSession, sf_dir: str, *tables: str) -> int:
+    """Scale-adaptive state-store partition count for a streaming drain:
+    one partition per _STATE_PART_TARGET_BYTES of source input, at least
+    4 (parallelism floor), capped at the session's shuffle-partition
+    count (which the SPARK_GRAFT_SHUFFLE_PARTITIONS contract already
+    scales with the cluster). Conf `spark.makerdao.streaming.state.partitions`
+    pins an explicit count for production streams whose per-trigger
+    volume is not the drained backlog size."""
+    override = spark.conf.get(_STATE_PARTS_CONF, None)
+    if override:
+        n = int(override)
+        if n <= 0:
+            raise ValueError(f"{_STATE_PARTS_CONF} must be positive, got {n}")
+        return n
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = sum(_input_bytes(sf_dir, t) for t in tables)
+    return min(shuffle_parts, max(4, -(-total // _STATE_PART_TARGET_BYTES)))
+
+
 def _drain(
-    sdf: DataFrame, output_mode: str, timeout_s: int = 300, state_key: str = ""
+    sdf: DataFrame,
+    output_mode: str,
+    timeout_s: int = 300,
+    state_key: str = "",
+    state_parts: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with AvailableNow and
     return the sink table. Unique query names allow repeated invocation
     in one session (the driver calls each query at least twice).
+
+    `state_parts` (from `state_partitions()`) sets the shuffle-partition
+    count the stateful exchange is pinned to, for the duration of the
+    drain only (the session value is restored before returning; drains
+    are synchronous and sequential in this engine).
+
+    The trailing no-data micro-batch is disabled for the drain: every
+    registered streaming query's sink output is emitted eagerly in DATA
+    batches (complete/update modes recompute per batch; the append-mode
+    operators used — inner stream-stream join, dropDuplicatesWithin-
+    Watermark — emit rows on arrival), so the extra batch advances the
+    watermark only to EVICT state, which a finite drain that is about to
+    stop never benefits from. It cost a full per-partition state-store
+    commit cycle (measured: half of streaming_stream_stream_join's
+    drain). A future append-mode AGGREGATION (emission gated on the
+    watermark) must re-enable it or its final windows never reach the
+    sink.
 
     `state_key` names the LAST_STATE_ROWS entry explicitly (it was
     derived via sys._getframe in round 8 — fragile under decoration or
@@ -60,26 +140,44 @@ def _drain(
     caller = state_key or "anonymous"
     name = f"stream_sink_{next(_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    spark = sdf.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    if not q.awaitTermination(timeout_s):
+    if state_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    final_wm = spark.conf.get(_FINAL_WM_BATCH_CONF, "false") == "true"
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if final_wm else "false",
+    )
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name!r} did not finish in {timeout_s}s — "
+                "refusing to return a partially-filled sink table"
+            )
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            LAST_STATE_ROWS[caller] = sum(
+                op.get("numRowsTotal", 0) for op in prog["stateOperators"]
+            )
         q.stop()
-        raise TimeoutError(
-            f"streaming drain {name!r} did not finish in {timeout_s}s — "
-            "refusing to return a partially-filled sink table"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
         )
-    prog = q.lastProgress
-    if prog and prog.get("stateOperators"):
-        LAST_STATE_ROWS[caller] = sum(
-            op.get("numRowsTotal", 0) for op in prog["stateOperators"]
-        )
-    q.stop()
     return sdf.sparkSession.table(name)
 
 
@@ -95,7 +193,8 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
         )
     )
-    out = _drain(agg, "complete", state_key="run_windowed_counts")
+    out = _drain(agg, "complete", state_key="run_windowed_counts",
+                 state_parts=state_partitions(spark, sf_dir, "events"))
     return out.select(
         F.col("w.start").alias("day"), "event_type", "n", "total_value"
     ).orderBy("day", "event_type")
@@ -116,7 +215,8 @@ def run_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    out = _drain(agg, "complete", state_key="run_hopping_counts")
+    out = _drain(agg, "complete", state_key="run_hopping_counts",
+                 state_parts=state_partitions(spark, sf_dir, "events"))
     return out.select(
         F.col("w.start").alias("w_start"),
         F.col("w.end").alias("w_end"),
@@ -136,7 +236,8 @@ def run_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "4 hours").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _drain(sess, "complete", state_key="run_sessionized")
+    out = _drain(sess, "complete", state_key="run_sessionized",
+                 state_parts=state_partitions(spark, sf_dir, "events"))
     return out.select(
         "user_id",
         F.col("sw.start").alias("session_start"),
@@ -206,6 +307,11 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_stats, _STATE_OUT, _STATE, "update", GroupStateTimeout.NoTimeout
     )
+    # NOT size-derived state partitions here (r11): this operator's cost
+    # is the per-group pandas transition function — Python CPU that wants
+    # core-count parallelism — and it carries ONE state store per
+    # partition, so commit fan-out is already cheap. Measured: 4
+    # partitions 4.1 s vs session parallelism 2.2 s at sf0.1/32 cores.
     out = _drain(st, "update", state_key="run_stateful_user_stats")
     # A key updated in several micro-batches emits once per batch in the
     # sink; the last emission per key is the final state.
@@ -233,7 +339,8 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
     )
-    out = _drain(agg, "complete", state_key="run_stream_static_join")
+    out = _drain(agg, "complete", state_key="run_stream_static_join",
+                 state_parts=state_partitions(spark, sf_dir, "events"))
     return out.orderBy("c_nationkey")
 
 
@@ -273,6 +380,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("purchase_id", "click_id", "p_user"),
         "append",
         state_key="run_stream_stream_join",
+        state_parts=state_partitions(spark, sf_dir, "events"),
     )
     return out.orderBy("purchase_id", "click_id")
 
@@ -307,7 +415,8 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = _drain(deduped, "append", state_key="run_stream_dedup")
+    out = _drain(deduped, "append", state_key="run_stream_dedup",
+                 state_parts=state_partitions(spark, sf_dir, "events"))
     return out.orderBy("event_id")
 
 

@@ -97,3 +97,62 @@ def test_materialize_lazy_registers_without_computing(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     release_materialized()
+
+
+def test_state_partitions_derivation(spark, tmp_path):
+    """state_partitions: ceil(bytes/32MB) with a floor of 4 and a cap at
+    the session's shuffle-partition count; conf override wins outright."""
+    from makerdao_dw_spark.streaming.jobs import (
+        _STATE_PART_TARGET_BYTES,
+        _STATE_PARTS_CONF,
+        state_partitions,
+    )
+
+    # tiny file -> floor
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * 1024)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        assert state_partitions(spark, str(tmp_path), "events") == 4
+        # 5 targets' worth of bytes -> 5 partitions (between floor and cap)
+        f.write_bytes(b"x" * (5 * _STATE_PART_TARGET_BYTES - 1))
+        assert state_partitions(spark, str(tmp_path), "events") == 5
+        # huge input -> capped at the session shuffle-partition count
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert state_partitions(spark, str(tmp_path), "events") == 4
+        # conf override wins
+        spark.conf.set(_STATE_PARTS_CONF, "11")
+        assert state_partitions(spark, str(tmp_path), "events") == 11
+    finally:
+        spark.conf.unset(_STATE_PARTS_CONF)
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_drain_restores_session_confs(spark, tmp_path):
+    """_drain pins state partitions and disables the no-data batch only
+    for the drain's duration — the session confs come back."""
+    import pandas as pd
+
+    from makerdao_dw_spark.streaming.jobs import _drain
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 2, 2], "v": [1.0, 2.0, 3.0]}).to_parquet(
+        src / "part-0.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .groupBy("k")
+        .count()
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    out = _drain(sdf, "complete", state_key="test", state_parts=3)
+    assert out.count() == 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_parts
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )

@@ -74,6 +74,10 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
+    # This harness measures POST-EVICTION state (the bounded-state
+    # claim); the drain skips the trailing watermark/eviction batch by
+    # default (r11 perf), so re-enable it here.
+    spark.conf.set("spark.makerdao.streaming.drain.finalWatermarkBatch", "true")
     try:
         w01, s01 = bench_dir(spark, args.sf01_dir, names)
         w1, s1 = bench_dir(spark, args.sf1_dir, names)
