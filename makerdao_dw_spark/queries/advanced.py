@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..session import configure, load_table, query_table
+from ..session import configure, load_table, pandas_group_buckets, query_table
 from .registry import query
 
 DEC = DecimalType(38, 6)
@@ -632,10 +632,13 @@ def cogroup_order_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     still lands in one pandas call either way. Computations expressible
     as joins+aggregates (like this oracle) should STILL use them;
     cogroup is for per-key logic that genuinely needs pandas on BOTH
-    inputs."""
+    inputs. Bucket count (r11): one bucket per shuffle partition via
+    session.pandas_group_buckets — each group pays a fixed Arrow flush
+    on top of the Python call, so 256 buckets cost 5.1 s where 32 cost
+    1.2 s at sf0.1 (identical results at any count)."""
     import pandas as pd
 
-    n_buckets = 256
+    n_buckets = pandas_group_buckets(spark)
     # NULL entity keys excluded (matches the oracle's declared domain;
     # pandas groupby would silently drop the NaN key anyway)
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select(

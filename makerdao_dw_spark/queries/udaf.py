@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..session import configure, load_table
+from ..session import configure, load_table, pandas_group_buckets
 from .registry import query
 
 
@@ -156,12 +156,15 @@ def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas body normalizes every user in the bucket VECTORIZED
     (groupby(dropna=False).transform over min/max — NULL user keys keep
     their group, matching the window oracle's NULL partition). Python
-    invocations drop from n_users to 256; per-row arithmetic is the
-    same (value - lo) / (hi - lo) in float64, so values are
-    bit-identical. sf0.1 sweep: 9.2 s -> see OPTIMIZATION_r11.md."""
+    invocations drop from n_users to the bucket count; per-row
+    arithmetic is the same (value - lo) / (hi - lo) in float64, so
+    values are bit-identical. Bucket count = one per shuffle partition
+    (session.pandas_group_buckets, r11: each group also pays a fixed
+    Arrow flush — 256 buckets measured 4x slower than 32 at sf0.1).
+    sf0.1 sweep: 9.2 s -> see OPTIMIZATION_r11.md."""
     import numpy as np
 
-    n_buckets = 256
+    n_buckets = pandas_group_buckets(spark)
     e = (
         _t(spark, sf_dir, "events")
         .select("user_id", "event_id", "value")
