@@ -13,11 +13,31 @@ hour three on one malformed row.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 
 from ..session import configure, load_table, materialize_lazy
 from .registry import query
+
+# Loop-exchange sizing for the recursive CTE (r11, guide §2): one
+# shuffle partition per this many bytes of source input, floor 8, capped
+# at the session's shuffle-partition count. UnionLoop re-plans and
+# re-executes its step plan EVERY iteration, so per-iteration exchange
+# fan-out is a fixed cost the loop pays depth times; deriving the count
+# from the input size is the static analogue of AQE's
+# initialPartitionNum (same idiom as the LPA vote sizing).
+_LOOP_PART_TARGET_BYTES = 32 << 20
+
+
+def _loop_partitions(spark: SparkSession, sf_dir: str, table: str) -> int:
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return shuffle_parts
+    return min(shuffle_parts, max(8, -(-size // _LOOP_PART_TARGET_BYTES)))
 
 
 # --------------------------------------------------------------------------
@@ -118,6 +138,22 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_rec_lineitem")
     edges = materialize_lazy(spark.sql(_REACH_EDGES_SQL.format(lineitem="_rec_lineitem")))
     edges.createOrReplaceTempView("_rec_edges")
+    # r11 loop-execution conf (guide §1.2/§2): with AQE on, EVERY
+    # UnionLoop iteration pays adaptive stage-materialization barriers
+    # + re-optimization on a frontier-sized step — measured 2x the
+    # whole query at sf0.1 (loop 9.3 s -> 3.9 s with AQE off and the
+    # loop exchanges statically sized from the input instead,
+    # _loop_partitions above). Results are plan-independent. These
+    # confs must hold at EXECUTION time and the returned frame is lazy,
+    # so they are deliberately NOT restored here: every registry query
+    # re-applies configure() at entry (the documented round-10
+    # contract), which turns AQE back on and re-derives the
+    # shuffle-partition count.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_loop_partitions(spark, sf_dir, "lineitem")),
+    )
     return spark.sql(_REACH_LOOP_SQL.format(edges="_rec_edges"))
 
 
