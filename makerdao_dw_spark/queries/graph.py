@@ -42,14 +42,27 @@ FROM walk GROUP BY node ORDER BY part
 def bfs_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance (<= 3) from the lowest part key through the
     co-purchase graph: frontier-expansion BFS (one join + one anti-join
-    per level, driver-side loop only — operators/graph.py)."""
+    per level, driver-side loop only — operators/graph.py).
+
+    Edge build (r11, guide §2.2 — shuffle fewer bytes): one groupBy
+    shuffle of lineitem into per-order part sets + a double explode,
+    instead of the self-join on l_orderkey that shuffled lineitem TWICE
+    and then paid the join. Per-order arrays are bounded (TPC-H orders
+    have <= 7 lines), the pair set is identical (verified element-wise:
+    collect_set drops NULL part keys exactly like the a<>b filter did,
+    and the trailing distinct makes element order irrelevant), and the
+    oracle keeps the join formulation. Measured warm at sf0.1:
+    4.4 s -> 2.5 s to the checkpointed edge list."""
     configure(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     source = li.agg(F.min("l_partkey").alias("node"))
