@@ -1162,16 +1162,25 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents", spread=False).count()
     est_tok_rows = n_docs * 64
     rows_per_task = rows_per_task_budget(spark, row_bytes=24)
-    n_tok_buckets = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        -(-est_tok_rows // rows_per_task),
-    )
-    toks = stage_bucketed(
-        d.select("doc_id", F.explode(shingles_expr("text")).alias("token")).distinct(),
-        "token",
-        "pf_toks",
-        n_tok_buckets,
-    )
+    tok_rel = d.select(
+        "doc_id", F.explode(shingles_expr("text")).alias("token")
+    ).distinct()
+    # r11 scale gate (guide §2, the LPA small-corpus idiom): the
+    # bucketed layout pays a catalog-table write so that four token-
+    # keyed consumers scan pre-partitioned buckets instead of
+    # re-shuffling a FACT-sized table; when the whole token table fits
+    # ONE task's budget there is no fact-sized exchange to elide and
+    # the bucketed write is pure fixed cost — a plain staged cut keeps
+    # the single-build + scratch-release properties and lets AQE size
+    # the (sub-budget) downstream exchanges.
+    if est_tok_rows <= rows_per_task:
+        toks = stage(tok_rel, "pf_toks")
+    else:
+        n_tok_buckets = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            -(-est_tok_rows // rows_per_task),
+        )
+        toks = stage_bucketed(tok_rel, "token", "pf_toks", n_tok_buckets)
     gc_hint(spark)
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # no global rank: the rarity TOTAL ORDER (df, token) is applied
