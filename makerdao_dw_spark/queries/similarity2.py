@@ -224,9 +224,15 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = assign_clusters(codes, f"sv{s}", cents[s]).withColumnRenamed(
             "cluster", f"code{s}"
         )
+    # keys-only candidate flow (r11, guide §2.2 — the banded-dedup rule:
+    # the payload never rides the candidate shuffle): the ADC pair table
+    # and its shortlist window carry (query_id, neighbor_id, approx)
+    # ONLY; the two 64-dim double arrays the exact rescore needs are
+    # joined back AFTER the top-50 cut, touching probes x 50 rows
+    # instead of probes x N. Before, qv+cv (~1 KB/row) rode every
+    # candidate through the window's shuffle+sort.
     cand = codes.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
         *[F.col(f"code{s}") for s in range(_PQ_M)],
     )
     probes = F.broadcast(
@@ -234,7 +240,6 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") % _PROBE_MOD == 0) & (F.col("vec_id") < PROBE_ID_CAP)
         ).select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
             *[
                 # per-subspace ADC table: ONE transform over the codebook
                 # literal (element order = cluster id), not k unrolled
@@ -253,10 +258,20 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.element_at("adt3", F.col("code3") + 1)
     pairs = probes.join(
         cand, F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", "qv", "neighbor_id", "cv", approx.alias("approx"))
+    ).select("query_id", "neighbor_id", approx.alias("approx"))
     w_a = Window.partitionBy("query_id").orderBy(F.col("approx").asc(), "neighbor_id")
     short = pairs.withColumn("rk_a", F.row_number().over(w_a)).filter(
         F.col("rk_a") <= _PQ_SHORTLIST
+    )
+    # join-back: shortlist rows are probes x 50 — AQE broadcasts them
+    # against the materialized corpus; exact arithmetic is unchanged
+    # (same fold over the same arrays), so results are bit-identical
+    short = short.join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+        "query_id",
+    ).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        "neighbor_id",
     )
     exact = F.aggregate(
         F.zip_with(
