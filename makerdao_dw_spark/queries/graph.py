@@ -114,13 +114,17 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 == 0)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
+    # one-shuffle oriented edge build (r11, the bfs_part_cooccurrence
+    # rewrite; orientation via the src < dst filter on exploded pairs)
     e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode("ps").alias("s"), "ps")
+        .select("s", F.explode("ps").alias("t"))
+        .filter(F.col("s") < F.col("t"))
+        .select("s", "t")
         .distinct()
     )
     # the edge set feeds THREE join arms: materialize it once (lineage
@@ -221,13 +225,20 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 == 0)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
+    # one-shuffle edge build (r11, the bfs_part_cooccurrence rewrite):
+    # per-order part-set arrays + double explode replace the self-join
+    # that shuffled the (filtered) fact table twice; identical pair set
+    # (collect_set dedups per order and drops NULLs like the <> filter;
+    # the trailing distinct ignores element order)
     edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     return (
