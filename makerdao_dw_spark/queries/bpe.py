@@ -135,10 +135,19 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
     Each step's vocabulary is persisted (materialize_lazy): it feeds
     both the pair count and the next step's merge, and the chain would
     otherwise recompute the corpus tokenize once per step (O(steps)
-    corpus passes instead of one). Lazy on purpose (r11): the very
-    next action (the argmax's forcing count) builds the cache anyway,
-    so an eager count per step just added one vocabulary-sized job —
-    ~2 jobs saved per step across the 4-step unroll."""
+    corpus passes instead of one).
+
+    The per-step argmax pair is COLLECTED (exactly one row by
+    construction — `limit(1)` — the same bounded-cardinality driver
+    transfer as the k-means centroid collect) and inlined as string
+    literals into the merge fold. The previous broadcast-join
+    formulation made step i's plan reference step i-1 TWICE (directly
+    and through the argmax subtree), so the logical tree grew 2^steps
+    — 44k formatted-plan lines and multi-second Catalyst analysis per
+    action at 4 steps. With literals the lineage is a linear chain;
+    the collect doubles as the forcing action that builds the step's
+    vocabulary cache (one TakeOrdered job per step, no eager count,
+    no BroadcastExchange build)."""
     if words is None:
         d = configure(spark) and load_table(spark, sf_dir, "documents", spread=True)
         words = (
@@ -153,37 +162,35 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
             "freq",
         )
     )
-    merges = []
+
+    def _q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    merge_rows: list[tuple[int, str, int]] = []
     for i in range(1, _BPE_STEPS + 1):
         pc = (
             s.select(F.explode(F.expr(_PAIRS_SPARK.format(sym="sym"))).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = materialize(
-            pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
-            .select(F.lit(i).alias("step"), "pair", "cnt")
-        )
-        merges.append(best)
-        bp = best.select(
-            F.expr("split_part(pair, ' ', 1)").alias("_p1"),
-            F.expr("split_part(pair, ' ', 2)").alias("_p2"),
-        )
-        # LEFT join on TRUE, not crossJoin: an empty argmax (degenerate
-        # corpus fully fused before _BPE_STEPS) must carry the previous
-        # segmentation forward, not empty the vocabulary — the merge
-        # fold with NULL _p1/_p2 is the identity (x = NULL never true)
+        top = pc.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            # degenerate corpus fully fused before _BPE_STEPS: the
+            # previous segmentation carries forward unchanged, and no
+            # later step can find a pair either (s is unchanged) — the
+            # oracle's empty b{i} contributes no merge row, same here
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        p1, p2 = pair.split(" ", 1)
+        merge_rows.append((i, pair, cnt))
         s = materialize_lazy(
-            s.join(F.broadcast(bp), F.lit(True), "left").select(
+            s.select(
                 "word",
-                F.expr(_MERGE_SPARK.format(sym="sym", p1="_p1", p2="_p2")).alias("sym"),
+                F.expr(_MERGE_SPARK.format(sym="sym", p1=_q(p1), p2=_q(p2))).alias("sym"),
                 "freq",
             )
         )
-    table = merges[0]
-    for m in merges[1:]:
-        table = table.unionByName(m)
+    table = spark.createDataFrame(merge_rows, schema="step int, pair string, cnt bigint")
     return table, s
 
 
