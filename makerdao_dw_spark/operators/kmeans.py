@@ -42,11 +42,35 @@ def _lit_vec(vals) -> Column:
     return F.lit(np.asarray([float(x) for x in vals], dtype="float64"))
 
 
+def _dlit(x: float) -> str:
+    """One double as a SQL literal that parses back to the same bits:
+    repr() is the shortest round-tripping decimal (Python >= 3.1) and
+    Spark's parser is correctly-rounding, so value-identity holds.
+    NaN/Infinity have no literal syntax and go through CAST."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
 def codebook_lit(centroids: list[list[float]]) -> Column:
-    """A whole codebook as array<array<double>> built from k single-
-    Literal vectors (k+1 nodes; constant-folded to ONE nested Literal
-    on first optimization). Element index == cluster id."""
-    return F.array(*[_lit_vec(c) for c in centroids])
+    """A whole codebook as array<array<double>>, parsed from ONE SQL
+    expression string. Element index == cluster id.
+
+    The previous form (F.array of k numpy-vector F.lit calls) cost one
+    py4j round trip per centroid — ~75 ms per (k=16) codebook, and the
+    kmeans/PQ family rebuilds its codebook columns with fresh values
+    every Lloyd iteration, so literal CONSTRUCTION (driver-side, before
+    any Spark work) dominated a warm iteration (~1.5 s of the measured
+    ~2 s, r11). One expression-string parse is ~1 ms and yields the
+    same nested Literal after constant folding."""
+    return F.expr(
+        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in c) + ")" for c in centroids) + ")"
+    )
 
 
 def _sq_l2(vec: Column, cent: Column) -> Column:
@@ -74,10 +98,21 @@ def dists_arr(vec_col: str, centroids: list[list[float]]) -> Column:
 
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add a `cluster` column (0-based nearest-centroid id, squared-L2,
-    ties -> lowest id). Pure expression: no shuffle, no Python."""
-    dists = dists_arr(vec_col, centroids)
-    return df.withColumn(
-        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    ties -> lowest id). Pure expression: no shuffle, no Python.
+
+    The distance array is computed into a scratch COLUMN first so the
+    argmin references an attribute, not two inlined copies of the
+    k-centroid transform expression — `array_position(d, array_min(d))`
+    with `d` inlined doubled every consumer's analyzed tree (r11; the
+    values are identical either way)."""
+    dcol = f"__kmeans_dists_{vec_col}"
+    return (
+        df.withColumn(dcol, dists_arr(vec_col, centroids))
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col(dcol), F.array_min(F.col(dcol))) - 1).cast("int"),
+        )
+        .drop(dcol)
     )
 
 
@@ -123,22 +158,30 @@ def kmeans_fit_multi(
     ]
     dims = [len(c[0]) for c in cents]
     for _ in range(max_iter):
-        assigned = df
-        for i, vc in enumerate(vec_cols):
-            assigned = assign_clusters(assigned, vc, cents[i]).withColumnRenamed(
-                "cluster", f"__c{i}"
-            )
         # cast double BEFORE decimal (float->double is exact) and derive
         # the mean as ONE double division of the exact decimal sum — the
         # same two rules every oracle-matched vector aggregate follows
         # (embedding_centroids_long), so the training loop is replicable
         # bit-for-bit in DuckDB (ann_ivf_kmeans's unrolled oracle).
+        #
+        # Each union branch carries ONLY its own subspace's assignment
+        # expression (select straight off df), not a chain of all m
+        # assignments per branch — the chained form put m copies of
+        # every codebook's distance transform into each branch and made
+        # Catalyst analysis the dominant cost of an iteration on cached
+        # data (r11; identical rows either way — the branches never read
+        # another subspace's columns).
         longf = None
         for i, vc in enumerate(vec_cols):
-            part = assigned.select(
+            part = df.select(
+                F.col(vc).alias("__v"),
+                dists_arr(vc, cents[i]).alias("__d"),
+            ).select(
                 F.lit(i).alias("sub"),
-                F.col(f"__c{i}").alias("cluster"),
-                F.posexplode(vc).alias("pos", "v"),
+                (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.posexplode("__v").alias("pos", "v"),
             )
             longf = part if longf is None else longf.unionByName(part)
         means = (
