@@ -47,7 +47,14 @@ ORDER BY l_returnflag, l_linestatus
     tags=("B1", "B4", "B7", "B19", "B20"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: the testdata ships lineitem as ONE parquet row group, so
+    # the scan cannot split and the decimal partial aggregation — the
+    # whole query — ran on one core (guide §2.5 input skew). The
+    # round-robin exchange carries only the 7 pruned columns (Catalyst
+    # pushes the filter and projection through Repartition) and every
+    # aggregate here is an exact decimal sum / count, so partitioning
+    # cannot change the result. Measured 2.4–3.2 → 1.5–2.1 s at sf0.1.
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
