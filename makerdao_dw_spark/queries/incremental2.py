@@ -114,7 +114,10 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 7 == 0).alias("o_delta"),
     )
     li = (
-        _t(spark, sf_dir, "lineitem")
+        # spread: single-row-group lineitem (q1 rationale, change #17) —
+        # the broadcast join + decimal partial sums otherwise run on one
+        # core; exact decimal sums are partitioning-invariant
+        _t(spark, sf_dir, "lineitem", spread=True)
         .filter(F.col("l_linenumber").isNotNull())
         .select(
             "l_orderkey",
@@ -135,31 +138,34 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("dA_dB")
             .alias("term"),
         )
-        .transform(materialize)
     )
     zero_d = F.lit(0).cast(_DEC)
     # rev_ivm = sum of the TAGGED terms (not SUM(rev)): the match flag
     # verifies the inclusion-exclusion partition itself — a dropped or
-    # double-counted branch must flip it
-    ivm = joined.groupBy("pri").agg(
-        F.sum(F.when(F.col("term") == "base", F.col("rev"))).alias("rev_base"),
-        F.sum(F.when(F.col("term") != "base", F.col("rev"))).alias("rev_delta"),
-        (
-            F.coalesce(
-                F.sum(F.when(F.col("term") == "base", F.col("rev"))), zero_d
-            )
-            + F.coalesce(
-                F.sum(F.when(F.col("term") != "base", F.col("rev"))), zero_d
-            )
-        ).alias("rev_ivm"),
-    )
-    full_v = joined.groupBy("pri").agg(F.sum("rev").alias("rev_full"))
+    # double-counted branch must flip it. rev_full (the full-recompute
+    # side of the check) is SUM(rev) over the SAME grouped rows, so it
+    # lives in the SAME aggregate (r11, guide §1.2): the old two-
+    # aggregate + null-safe-self-join form computed the tagged join
+    # twice behind a persist+count; one hash aggregate produces all
+    # four values with identical decimal arithmetic.
     zero = F.lit(0).cast(_DEC)
     return (
-        ivm.alias("i")
-        .join(full_v.alias("f"), F.expr("i.pri <=> f.pri"))
+        joined.groupBy("pri")
+        .agg(
+            F.sum(F.when(F.col("term") == "base", F.col("rev"))).alias("rev_base"),
+            F.sum(F.when(F.col("term") != "base", F.col("rev"))).alias("rev_delta"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == "base", F.col("rev"))), zero_d
+                )
+                + F.coalesce(
+                    F.sum(F.when(F.col("term") != "base", F.col("rev"))), zero_d
+                )
+            ).alias("rev_ivm"),
+            F.sum("rev").alias("rev_full"),
+        )
         .select(
-            F.col("i.pri").alias("o_orderpriority"),
+            F.col("pri").alias("o_orderpriority"),
             F.coalesce("rev_base", zero).cast("double").alias("rev_base"),
             F.coalesce("rev_delta", zero).cast("double").alias("rev_delta"),
             F.col("rev_ivm").cast("double").alias("rev_ivm"),
