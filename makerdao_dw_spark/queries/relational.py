@@ -387,18 +387,31 @@ FROM orders
     tags=("B8",),
 )
 def global_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The empty-OVER window semantics (every row sees the corpus SUM and
+    # MAX) computed as a 1-row exact aggregate broadcast back onto the
+    # scan (r11, guide §2.5): Spark executes an empty PARTITION BY as
+    # ONE window partition — the whole table funneled through a single
+    # task's sort (measured 7.8 s at sf1, the worst kind of 100 TB
+    # plan). The aggregate is the same exact DECIMAL sum/max the window
+    # computed, so every derived value is bit-identical; the broadcast
+    # relation is one row.
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy()
-    return o.select(
+    g = F.broadcast(
+        o.agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_gsum"),
+            F.max(F.col("o_totalprice").cast(DEC)).alias("_gmax"),
+        )
+    )
+    return o.crossJoin(g).select(
         "o_orderkey",
         F.col("o_totalprice").cast(DEC).alias("total"),
         # NULLIF(total, 0): share is undefined when the corpus total is
         # zero — NULL, not an ANSI DIVIDE_BY_ZERO (DuckDB would emit NULL)
         (
             F.col("o_totalprice").cast("double")
-            / F.nullif(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), F.lit(0.0))
+            / F.nullif(F.col("_gsum").cast("double"), F.lit(0.0))
         ).alias("share"),
-        F.max(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("global_max"),
+        F.col("_gmax").cast("double").alias("global_max"),
     )
 
 

@@ -911,24 +911,51 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one tiny exchange; nothing is ever vector-count-sized past the
     scan. Final top-k is TakeOrderedAndProject."""
     e = configure(spark) and load_table(spark, sf_dir, "embeddings", spread=True)
-    el = e.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", F.posexplode("embedding").alias("i0", "xf")
-    ).select(
-        "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
-    )
-    a = el.select("vec_id", F.col("i").alias("di"), F.col("x").alias("xa"))
-    b = el.select("vec_id", F.col("i").alias("dj"), F.col("x").alias("xb"))
+    # Per-vector (i < j) pair expansion straight off the embedding ARRAY
+    # (r11, guide §2.4): the old element-long-form self-join shuffled
+    # the exploded table TWICE by vec_id and joined it back to itself —
+    # at sf1 that is 2 x 1.3M-row exchanges before the dim² expansion.
+    # A nested transform generates the same 2016 (di, dj, products)
+    # structs map-side, so the ONLY exchange left is the 2016-key
+    # partial-aggregate merge. Arithmetic per pair is unchanged
+    # (cast-to-double element products, round to 9, exact decimal sums
+    # — order-free), so results are bit-identical.
+    # The marginal sums sx/sy depend only on ONE dimension, so summing
+    # them inside the dim²-key aggregate recomputed each 63x per vector;
+    # they come from a separate 64-key marginal aggregate instead and
+    # join back onto the 2016-row pair table (broadcast). n is uniform
+    # across pairs by construction here (the sequence emits every (i,j)
+    # struct for every non-null vector, exactly like the oracle's
+    # generate_series), so the pair aggregate's own COUNT(*) is kept and
+    # the values are identical — verified sig-equal at sf1, 2016 rows.
     dec9 = "decimal(38,9)"
-    pairs = (
-        a.join(b, "vec_id")
-        .filter(F.col("di") < F.col("dj"))
-        .groupBy("di", "dj")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("xa") * F.col("xb"), 9).cast(dec9)).alias("sxy"),
-            F.sum(F.round("xa", 9).cast(dec9)).alias("sx"),
-            F.sum(F.round("xb", 9).cast(dec9)).alias("sy"),
-        )
+    env = e.filter(F.col("embedding").isNotNull())
+    pair_structs = (
+        f"flatten(transform(sequence(1, {DIM - 1}), i -> "
+        f"transform(sequence(i + 1, {DIM}), j -> struct("
+        "i AS di, j AS dj, "
+        "cast(round(cast(element_at(embedding, i) as double) "
+        "* cast(element_at(embedding, j) as double), 9) "
+        f"as {dec9}) AS pxy))))"
+    )
+    marg_structs = (
+        f"transform(sequence(1, {DIM}), i -> struct(i AS i, "
+        f"cast(round(cast(element_at(embedding, i) as double), 9) as {dec9}) AS px))"
+    )
+    pxy = (
+        env.select(F.explode(F.expr(pair_structs)).alias("p"))
+        .groupBy(F.col("p.di").alias("di"), F.col("p.dj").alias("dj"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.pxy").alias("sxy"))
+    )
+    marg = (
+        env.select(F.explode(F.expr(marg_structs)).alias("m"))
+        .groupBy(F.col("m.i").alias("i"))
+        .agg(F.sum("m.px").alias("s"))
+    )
+    pairs = pxy.join(
+        F.broadcast(marg.select(F.col("i").alias("di"), F.col("s").alias("sx"))), "di"
+    ).join(
+        F.broadcast(marg.select(F.col("i").alias("dj"), F.col("s").alias("sy"))), "dj"
     )
     cov = F.round(
         F.col("sxy").cast("double") / F.col("n")

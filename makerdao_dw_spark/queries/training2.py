@@ -88,10 +88,13 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle proves engine-portable semantics. Spark
     `regexp_replace` is global by default; DuckDB needs the explicit
     'g' flag — a cross-engine trap this oracle pins. Scale shape: pure
-    string expressions in one codegen stage over the scan — no
-    exchange, no Python; redaction of a 100 TB corpus is exactly a
-    map-only pass."""
-    d = _t(spark, sf_dir, "documents")
+    string expressions over the scan — no Python; redaction of a
+    100 TB corpus is a map-only pass. spread (r11): the testdata's
+    single-row-group documents file pinned all SIX regex passes (3
+    extract_all + 3 replace) to one core — the round-robin exchange
+    carries (doc_id, text) once and the per-row work is trivially
+    partitioning-invariant; measured 7.1–7.4 → ~2.9 s at sf1."""
+    d = _t(spark, sf_dir, "documents", spread=True)
     seeded = d.select(
         "doc_id",
         F.concat(
