@@ -947,14 +947,25 @@ def test_wave20_plan_hygiene(spark):
 
 
 def test_wave21_plan_hygiene(spark):
-    """Maintenance wave: ivm_join_delta evaluates ONE tagged join
-    (checkpointed — the ivm terms and the full recompute both consume
-    it, so the consuming plan reads only the LogicalRDD);
+    """Maintenance wave: ivm_join_delta evaluates ONE tagged join into
+    ONE hash aggregate (r11: the full-recompute SUM moved into the same
+    aggregate as the ivm terms, so the join is single-consumer — no
+    materialization, no self-join of the two 5-row aggregates; the plan
+    reads the two table scans exactly once each);
     zorder_morton_audit is one scan with broadcast bounds into an
     8-bit-cardinality rollup; watermark_lateness_audit is one scan
     into a per-type window + rollup."""
     df = run(spark, "ivm_join_delta")
-    assert_reads_materialized_only(df, "ivm_join_delta")
+    # exactly one scan of each side, no cached intermediate needed
+    assert sorted(leaf_names(df)) == ["LogicalRelation", "LogicalRelation"], leaf_names(df)
+    p = plan_str(df)
+    # the old shape joined the ivm aggregate to the full-recompute
+    # aggregate; the merged-aggregate plan has only the tagged
+    # join itself (one numbered join operator in the formatted plan)
+    import re
+
+    join_ops = re.findall(r"\(\d+\) [A-Za-z]*Join", p)
+    assert len(join_ops) == 1, (join_ops, p[:2000])
 
     df = run(spark, "zorder_morton_audit")
     # round 7: the 2-column projection is materialized once; both the
