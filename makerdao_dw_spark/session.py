@@ -280,9 +280,34 @@ def load_table(
             spread = os.path.getsize(path) > _AUTO_SPREAD_BYTES
         except OSError:
             spread = False
-    if spread:
+    # spread exists to parallelize inputs the SCAN cannot split (the
+    # testdata ships single-file single-row-group tables). When the
+    # input is already a multi-file directory with at least as many
+    # files as cores, the scan parallelizes by itself and the
+    # round-robin exchange is a pure extra shuffle of the whole table —
+    # measured at sf10 (28-file lineitem): q1 9.7 s -> 15.0 s with an
+    # unconditional spread (r11). Gate on the split count so the same
+    # query code is optimal at every scale.
+    if spread and _scan_splits(path) < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _scan_splits(path: str) -> int:
+    """Lower bound on the scan's split count: 1 for a single file (the
+    testdata's one-row-group layout cannot split), else the number of
+    data files in the directory (each file is at least one split;
+    multi-row-group files only increase it)."""
+    if os.path.isdir(path):
+        try:
+            return sum(
+                1
+                for n in os.listdir(path)
+                if not n.startswith(("_", "."))
+            ) or 1
+        except OSError:
+            return 1
+    return 1
 
 
 def query_table(
