@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.order_stats import global_ntile, use_parallel
 from ..session import materialize, query_table
 from .registry import query
 from .text_common import ws_words_arr, ws_words_duck
@@ -333,40 +334,40 @@ def session_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("monetary_d").cast("double").alias("monetary"),
     )
-    scored = (
-        base.withColumn(
-            "r_score",
-            # NULLS LAST pinned on BOTH engines AND BOTH columns: Spark
-            # ASC defaults NULLS FIRST, DuckDB NULLS LAST — an
-            # all-NULL-ts user (metric NULL) or a NULL user_id row
-            # (tie-break NULL) would otherwise shift every tile on one
-            # engine only (the ks_feature_drift divergence class;
-            # review waves 14 + 17)
-            F.ntile(5).over(
-                Window.orderBy(
-                    F.col("recency_days").asc_nulls_last(),
-                    F.col("user_id").asc_nulls_last(),
-                )
-            ),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(
-                Window.orderBy(
-                    F.col("frequency").desc_nulls_last(),
-                    F.col("user_id").asc_nulls_last(),
-                )
-            ),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(
-                Window.orderBy(
-                    F.col("monetary").desc_nulls_last(),
-                    F.col("user_id").asc_nulls_last(),
-                )
-            ),
-        )
+    # NULLS LAST pinned on BOTH engines AND BOTH columns: Spark
+    # ASC defaults NULLS FIRST, DuckDB NULLS LAST — an
+    # all-NULL-ts user (metric NULL) or a NULL user_id row
+    # (tie-break NULL) would otherwise shift every tile on one
+    # engine only (the ks_feature_drift divergence class;
+    # review waves 14 + 17)
+    #
+    # r12: past the source-size gate each NTILE(5) runs as the parallel
+    # global rank instead of a single-task empty-PARTITION BY window —
+    # THREE chained one-task corpus sorts over user cardinality (guide
+    # §2.5). Below the gate the plain windows are kept (measured r12:
+    # unconditionally parallel regressed sf1 0.75 -> 2.8 s — the
+    # machinery's fixed cost x3; both forms value-identical).
+    par = use_parallel(spark, sf_dir, "events")
+    scored = global_ntile(
+        base,
+        [F.col("recency_days").asc_nulls_last(), F.col("user_id").asc_nulls_last()],
+        5,
+        "r_score",
+        parallel=par,
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("frequency").desc_nulls_last(), F.col("user_id").asc_nulls_last()],
+        5,
+        "f_score",
+        parallel=par,
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("monetary").desc_nulls_last(), F.col("user_id").asc_nulls_last()],
+        5,
+        "m_score",
+        parallel=par,
     )
     return scored.select(
         "user_id",

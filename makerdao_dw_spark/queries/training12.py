@@ -209,11 +209,16 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
+    # r12: top-K via TakeOrdered (orderBy+limit) instead of ranking the
+    # WHOLE unigram vocabulary through a single-task window (guide
+    # §2.5); identical rows/ranks (total order, unique w tie-break),
+    # remaining rank window bounded at _SG_VOCAB rows.
     vocab = (
-        uni.withColumn(
+        uni.orderBy(F.col("n_w").desc(), "w")
+        .limit(_SG_VOCAB)
+        .withColumn(
             "rk", F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w"))
         )
-        .filter(F.col("rk") <= _SG_VOCAB)
         .transform(materialize)
     )
     fwd = (

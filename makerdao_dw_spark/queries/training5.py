@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.order_stats import global_ntile, use_parallel
 from ..session import query_table
 from .registry import query
 from .text_common import bigram_zip_expr, tokens_arr, tokens_arr_duck, ws_words_arr, ws_words_duck
@@ -95,10 +96,14 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wn",
     ).select("p.a", "p.b", "wn")
     pc = pairs.groupBy("a", "b").agg(F.sum("wn").alias("n"))
+    # r12: top-20 via TakeOrdered (orderBy+limit) — the docstring's "no
+    # global sort" promise made real; the rank window now runs over 20
+    # rows instead of the full (bounded, but alphabet²-sized) pair set.
     w = Window.orderBy(F.col("n").desc(), "a", "b")
     return (
-        pc.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
+        pc.orderBy(F.col("n").desc(), "a", "b")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .select("a", "b", "n", "rk")
         .orderBy("rk")
     )
@@ -154,10 +159,20 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tok_density"),
     )
-    phased = scored.withColumn(
+    # r12: past the source-size gate the NTILE runs as the parallel
+    # global rank (range-partitioned sort + per-partition offsets)
+    # instead of the single-task empty-PARTITION BY window — the
+    # docstring's "swap at extreme scale" promise, made exact instead
+    # of approximate (guide §2.5). Below the gate the plain window is
+    # kept (the per-doc frame fits one task; measured r12, the parallel
+    # machinery is pure fixed cost there). Both forms value-identical.
+    phased = global_ntile(
+        scored,
+        [F.col("tok_density").desc(), F.col("doc_id")],
+        4,
         "phase",
-        F.ntile(4).over(Window.orderBy(F.col("tok_density").desc(), "doc_id")).cast("long"),
-    )
+        parallel=use_parallel(spark, sf_dir, "documents"),
+    ).withColumn("phase", F.col("phase").cast("long"))
     return (
         phased.groupBy("source", "phase")
         .agg(

@@ -233,12 +233,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cells = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("cell_n"))
+    # r12: top-K via TakeOrdered (orderBy+limit) instead of ranking the
+    # WHOLE vocabulary through a single-task empty-PARTITION BY window
+    # (guide §2.5 — the one-task corpus sort class). The top-K set and
+    # its ranks are identical (total order, unique token tie-break);
+    # the remaining rank window runs over _CMS_TOPK rows, a bounded
+    # input at any corpus size.
     top = (
-        vocab.withColumn(
+        vocab.orderBy(F.col("n").desc(), "token")
+        .limit(_CMS_TOPK)
+        .withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.col("n").desc(), "token")).cast("long"),
         )
-        .filter(F.col("rk") <= _CMS_TOPK)
     )
     return (
         hashed.select("token", "j", "bucket")

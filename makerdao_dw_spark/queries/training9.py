@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.order_stats import global_ntile, use_parallel
 from ..session import query_table
 from .dedup import _CC_CORE, _lsh_candidate_pairs
 from .registry import query
@@ -262,21 +263,28 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("score"),
     )
-    ranked = (
-        scored.join(cc, "doc_id", "left")
-        .select(
-            F.ntile(10)
-            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-            .cast("long")
-            .alias("decile"),
-            F.when(F.col("component").isNotNull(), 1).otherwise(0).alias("in_cluster"),
-            F.when(
-                F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
-                1,
-            )
-            .otherwise(0)
-            .alias("dropped"),
+    # r12: past the source-size gate the NTILE runs as the parallel
+    # global rank instead of the single-task empty-PARTITION BY window
+    # (guide §2.5) — the docstring's documented "swap at extreme
+    # scale", made exact. Below the gate the plain window is kept
+    # (measured r12: unconditionally parallel regressed sf1 2.0 ->
+    # 3.6 s; both forms value-identical).
+    joined = scored.join(cc, "doc_id", "left").select("doc_id", "score", "component")
+    ranked = global_ntile(
+        joined,
+        [F.col("score").desc(), F.col("doc_id")],
+        10,
+        "decile",
+        parallel=use_parallel(spark, sf_dir, "documents"),
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.when(F.col("component").isNotNull(), 1).otherwise(0).alias("in_cluster"),
+        F.when(
+            F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+            1,
         )
+        .otherwise(0)
+        .alias("dropped"),
     )
     return (
         ranked.groupBy("decile")

@@ -381,15 +381,38 @@ def concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
         "event_id",
     )
-    deltas = starts.unionByName(ends)
-    w = (
-        Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    deltas = starts.unionByName(ends).withColumn("day", F.col("t").cast("date"))
+    # r12: the documented SCALE.md sharding, implemented — the global
+    # running sum is sharded by day (day(t) is monotone in the sweep
+    # order, and a NULL t lands in the NULL day, which sorts first
+    # exactly like the old ASC NULLS FIRST global order): a per-day
+    # PARALLEL running sum plus per-day opening offsets (an exclusive
+    # prefix sum over |days| rows — bounded by the calendar, not the
+    # corpus). Replaces the single-task empty-PARTITION BY window that
+    # funneled 2x|events| rows through one sort (guide §2.5). Integer
+    # sums => bit-identical to the global running sum.
+    w_local = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc(), F.col("event_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    day_offsets = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("day_sum"))
+        .select(
+            "day",
+            F.coalesce(
+                F.sum("day_sum").over(
+                    Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("opening"),
+        )
     )
-    running = deltas.withColumn("live", F.sum("delta").over(w))
+    running = deltas.withColumn("local_live", F.sum("delta").over(w_local)).join(
+        F.broadcast(day_offsets), deltas["day"].eqNullSafe(day_offsets["day"])
+    ).drop(day_offsets["day"])
     return (
-        running.groupBy(F.col("t").cast("date").alias("day"))
-        .agg(F.max("live").cast("long").alias("peak_concurrent"))
+        running.groupBy("day")
+        .agg(F.max(F.col("local_live") + F.col("opening")).cast("long").alias("peak_concurrent"))
         .orderBy("day")
     )
 

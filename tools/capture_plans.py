@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--tag", default="r11")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra session conf key=value (e.g. spark.makerdao.rank.parallel=true)",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -40,6 +46,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     qd = queries_dict()
     outdir = os.path.join(REPO, "plans", args.tag)
     os.makedirs(outdir, exist_ok=True)
