@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 
-from ..session import configure, load_table, materialize_lazy
+from ..session import configure, load_table, materialize_lazy, stage
 from .registry import query
 
 # Loop-exchange sizing for the recursive CTE (r11, guide §2): one
@@ -143,18 +143,30 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + re-optimization on a frontier-sized step — measured 2x the
     # whole query at sf0.1 (loop 9.3 s -> 3.9 s with AQE off and the
     # loop exchanges statically sized from the input instead,
-    # _loop_partitions above). Results are plan-independent. These
-    # confs must hold at EXECUTION time and the returned frame is lazy,
-    # so they are deliberately NOT restored here: every registry query
-    # re-applies configure() at entry (the documented round-10
-    # contract), which turns AQE back on and re-derives the
-    # shuffle-partition count.
+    # _loop_partitions above). Results are plan-independent.
+    #
+    # r12 (VERDICT r11 item 3): the confs are now RESTORED before
+    # returning instead of leaking session-wide until the next
+    # configure(). They must hold at execution time and the loop frame
+    # is lazy, so the loop is executed HERE through stage() — a hard
+    # lineage cut to a node-cardinality parquet (the house iterative-
+    # query idiom) whose read-back plan is conf-independent — and the
+    # prior conf values are reinstated in a finally, the same contract
+    # the streaming drains keep (streaming/jobs.py).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(_loop_partitions(spark, sf_dir, "lineitem")),
     )
-    return spark.sql(_REACH_LOOP_SQL.format(edges="_rec_edges"))
+    try:
+        return stage(
+            spark.sql(_REACH_LOOP_SQL.format(edges="_rec_edges")), "rec_reach"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 # --------------------------------------------------------------------------
