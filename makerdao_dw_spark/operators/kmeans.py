@@ -104,8 +104,12 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     argmin references an attribute, not two inlined copies of the
     k-centroid transform expression — `array_position(d, array_min(d))`
     with `d` inlined doubled every consumer's analyzed tree (r11; the
-    values are identical either way)."""
+    values are identical either way). The scratch name is suffixed
+    until absent from df (ADVICE r11: a caller column with the fixed
+    name would have been silently clobbered then dropped)."""
     dcol = f"__kmeans_dists_{vec_col}"
+    while dcol in df.columns:
+        dcol += "_"
     return (
         df.withColumn(dcol, dists_arr(vec_col, centroids))
         .withColumn(

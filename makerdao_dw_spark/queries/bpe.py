@@ -164,7 +164,12 @@ def _spark_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = Non
     )
 
     def _q(v: str) -> str:
-        return "'" + v.replace("'", "''") + "'"
+        # escape backslashes BEFORE quote-doubling (ADVICE r11): Spark's
+        # default string-literal escaping would mangle a backslash in a
+        # merge-pair token inlined via F.expr. Unreachable for the
+        # letters-only tokens_arr symbols, but _spark_train accepts
+        # arbitrary caller-supplied words frames.
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
     merge_rows: list[tuple[int, str, int]] = []
     for i in range(1, _BPE_STEPS + 1):

