@@ -480,6 +480,15 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # the per-operator form of AQE's initialPartitionNum: partition
     # count grows with the data, bounded per-task working set. The
     # count() is a cheap columnar count-star on the staged table.
+    # r12 (VERDICT r11 item 6), measured REFUTED: replacing this
+    # repartition+complete-aggregate with a partial (map-side combined)
+    # groupBy(u,label) over pre-sized shuffle partitions — combine
+    # before the exchange, but a second votes-cardinality exchange for
+    # the argmax — was a WASH at sf1 (interleaved 2x2 fresh-session
+    # A/B, warm walls: current 15.15/15.87 s vs combined 14.92/16.75).
+    # Two vote rounds leave the (u,label) dedup factor too low for the
+    # combine to pay for the extra exchange; the single hash(u)
+    # exchange below stays (it serves BOTH aggregates).
     voters = va.unionByName(vb)
     if not small:
         # the large path's ONE edge-sized shuffle, self-sized from the
