@@ -491,10 +491,32 @@ def test_rare_token_corpus_scanned_once(spark):
 
 def test_recursive_cte_is_engine_owned_loop(spark):
     """The recursive CTE must plan as Spark's native UnionLoop (engine-
-    owned iteration) — not a Python-driven loop or an unrolled union."""
-    p = plan_str(run(spark, "recursive_cte_reachability"), "simple")
+    owned iteration) — not a Python-driven loop or an unrolled union.
+
+    r12: the registered query executes the loop in-function (stage())
+    so the session confs it needs can be restored before returning —
+    the RETURNED frame is the staged parquet scan, so the UnionLoop pin
+    moves to the loop statement itself, built exactly as the query
+    builds it."""
+    from makerdao_dw_spark.queries.modern2 import (
+        _REACH_EDGES_SQL,
+        _REACH_LOOP_SQL,
+    )
+    from makerdao_dw_spark.session import load_table
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "_rec_lineitem_plan_test"
+    )
+    spark.sql(
+        _REACH_EDGES_SQL.format(lineitem="_rec_lineitem_plan_test")
+    ).createOrReplaceTempView("_rec_edges_plan_test")
+    loop = spark.sql(_REACH_LOOP_SQL.format(edges="_rec_edges_plan_test"))
+    p = plan_str(loop, "simple")
     assert "UnionLoop" in p, p
     assert "EvalPython" not in p
+    # and the registered query's returned frame stays Python-free too
+    rp = plan_str(run(spark, "recursive_cte_reachability"), "simple")
+    assert "EvalPython" not in rp
 
 
 def test_try_battery_is_map_only(spark):
